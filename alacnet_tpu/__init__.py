@@ -10,9 +10,13 @@ encoder, a batched multi-frame device decode pipeline, multi-chip sharding
 and a test pyramid.
 """
 
+from .batch import DecodedAudio, decode_file, decode_files, decode_streams
 from .codec.cookie import CodecParams, default_cookie
 from .codec.encoder import AlacEncoder, EncoderConfig, encode_m4a
 from .container.demux import StreamInfo, parse
+from .context import AlacContext
+from .pcm import format_pcm_bytes, read_wav, write_wav
+from .reader import ALACFileReader, WaveFormat
 from .errors import (
     AlacError,
     BitstreamError,
@@ -25,8 +29,18 @@ from .errors import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "ALACFileReader",
+    "AlacContext",
     "AlacEncoder",
     "AlacError",
+    "DecodedAudio",
+    "WaveFormat",
+    "decode_file",
+    "decode_files",
+    "decode_streams",
+    "format_pcm_bytes",
+    "read_wav",
+    "write_wav",
     "BitstreamError",
     "CodecParams",
     "EncoderConfig",

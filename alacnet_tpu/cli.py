@@ -1,0 +1,149 @@
+"""Command-line interface — the demo/CLI layer (L4).
+
+Replaces the reference's interactive playback demo
+(/root/reference/ALACDecoderDemo/Program.cs:22-66) with reproducible
+commands: metadata inspection, decode-to-WAV (with a mid-stream
+reposition exercise mirroring the demo's seek-to-middle), WAV-to-ALAC
+encode, and a throughput benchmark with a machine-readable report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_info(args) -> int:
+    from . import parse
+
+    with open(args.path, "rb") as f:
+        info = parse(f)
+    n = info.tables.num_samples()
+    rate = info.sample_rate_or_default()
+    print(f"file:          {args.path}")
+    print(f"channels:      {info.num_channels_or_default()}")
+    print(f"sample rate:   {rate} Hz")
+    print(f"bits/sample:   {info.bits_per_sample_or_default()}")
+    print(f"frames:        {info.tables.num_frames}")
+    print(f"samples:       {n}")
+    if n >= 0:
+        print(f"duration:      {n / rate:.3f} s")
+    print(f"max frame:     {info.params.max_frame_bytes} bytes")
+    print(f"mdat:          {info.mdat_len} bytes @ {info.mdat_offset}")
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    from .batch import decode_file
+    from .pcm import write_wav
+    from .reader import ALACFileReader
+
+    t0 = time.perf_counter()
+    if args.seek_middle:
+        # Exercise the streaming reader + mid-stream reposition, like the
+        # reference demo (Program.cs:49).
+        with open(args.path, "rb") as f:
+            reader = ALACFileReader(f)
+            reader.position = reader.length // 2
+            data = reader.read(reader.length)
+            wf = reader.wave_format
+            rate, bits, ch = wf.sample_rate, wf.bits_per_sample, wf.channels
+            nsamples = len(data) // wf.block_align
+            pcm: bytes | np.ndarray = data
+    else:
+        dec = decode_file(args.path)
+        rate, bits, ch = dec.sample_rate, dec.bits_per_sample, dec.channels
+        nsamples, pcm = dec.num_samples, dec.pcm
+    dt = time.perf_counter() - t0
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_wav(f, pcm, rate, bits, ch)
+    rt = (nsamples / rate) / dt if dt > 0 else float("inf")
+    print(
+        f"decoded {nsamples} samples ({ch}ch {bits}-bit {rate} Hz) "
+        f"in {dt:.3f}s — {nsamples / dt / 1e6:.2f} Msamples/s "
+        f"({rt:.0f}x realtime)"
+    )
+    return 0
+
+
+def _cmd_encode(args) -> int:
+    from .codec.encoder import EncoderConfig, encode_m4a
+    from .pcm import read_wav
+
+    with open(args.path, "rb") as f:
+        pcm, rate, bits = read_wav(f)
+    if args.bits:
+        bits = args.bits
+    cfg = EncoderConfig(order=args.order)
+    t0 = time.perf_counter()
+    with open(args.output, "wb") as f:
+        encode_m4a(f, pcm, rate, bits, cfg)
+    dt = time.perf_counter() - t0
+    import os
+
+    ratio = os.path.getsize(args.output) / max(1, pcm.size * (bits // 8))
+    print(
+        f"encoded {pcm.shape[0]} samples in {dt:.3f}s — ratio {ratio:.3f}"
+    )
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from .bench_lib import run_benchmark
+
+    result = run_benchmark(
+        batch=args.batch,
+        seconds_of_audio=args.seconds,
+        bits=args.bits,
+        repeats=args.repeats,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="alac-tpu",
+        description="TPU-native batch ALAC codec (decode/encode/info/bench)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="print stream metadata")
+    p.add_argument("path")
+    p.set_defaults(fn=_cmd_info)
+
+    p = sub.add_parser("decode", help="decode .m4a to .wav")
+    p.add_argument("path")
+    p.add_argument("output", nargs="?", default=None)
+    p.add_argument(
+        "--seek-middle",
+        action="store_true",
+        help="reposition to the stream middle first (demo parity)",
+    )
+    p.set_defaults(fn=_cmd_decode)
+
+    p = sub.add_parser("encode", help="encode .wav to .m4a (lossless)")
+    p.add_argument("path")
+    p.add_argument("output")
+    p.add_argument("--order", type=int, default=6)
+    p.add_argument("--bits", type=int, default=0)
+    p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser("bench", help="synthetic decode throughput benchmark")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--seconds", type=float, default=60.0)
+    p.add_argument("--bits", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=3)
+    p.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""Full batched ALAC frame decode: the device pipeline.
+
+Composes the stages of DecodeFrame (AlacFile.cs:428-719) as batched,
+jittable JAX ops over a lane-per-frame batch:
+
+    extra-bits extraction  (:476-482,634-641)  — affine offsets, one gather
+    Rice scan, channel A    (:483,643)          — ops/rice.py
+    Rice scan, channel B    (:653)              — continues A's bit cursor
+    LPC scan, both channels (:486,646,656)      — channels folded into lanes
+    raw-PCM path            (:498-526,663-700)  — affine offsets, gathers
+    decorrelation + output  (:338-421,527-566)  — pure vector epilogue
+
+Everything is shape-static given (batch B, scan length S); lanes with
+fewer samples freeze mid-scan.  The jitted entry is :func:`decode_frames`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bitops import I32, U32, shl, signext, sra
+from .bitreader import gather_bits
+from .lpc import LpcParams, lpc_decode
+from .rice import RiceParams, rice_decode
+
+
+class FrameMetaArrays(NamedTuple):
+    """Device-side view of codec/framemeta.FrameBatch (order matters)."""
+
+    is_stereo: jax.Array
+    is_compressed: jax.Array
+    n_samples: jax.Array
+    sample_size: jax.Array
+    ub: jax.Array
+    rss: jax.Array
+    interlacing_shift: jax.Array
+    interlacing_leftweight: jax.Array
+    payload_pos: jax.Array
+    entropy_pos: jax.Array
+    order: jax.Array  # (B, 2)
+    quant: jax.Array  # (B, 2)
+    rice_mult: jax.Array  # (B, 2)
+    rc: jax.Array  # (B, 2, 32)
+    kmod: jax.Array
+    init_history: jax.Array
+    kmask: jax.Array
+
+    @classmethod
+    def from_batch(cls, fb) -> "FrameMetaArrays":
+        return cls(
+            is_stereo=jnp.asarray(fb.is_stereo),
+            is_compressed=jnp.asarray(fb.is_compressed),
+            n_samples=jnp.asarray(fb.n_samples, dtype=I32),
+            sample_size=jnp.asarray(fb.sample_size, dtype=I32),
+            ub=jnp.asarray(fb.ub, dtype=I32),
+            rss=jnp.asarray(fb.rss, dtype=I32),
+            interlacing_shift=jnp.asarray(fb.interlacing_shift, dtype=I32),
+            interlacing_leftweight=jnp.asarray(
+                fb.interlacing_leftweight, dtype=I32
+            ),
+            payload_pos=jnp.asarray(fb.payload_pos, dtype=I32),
+            entropy_pos=jnp.asarray(fb.entropy_pos, dtype=I32),
+            order=jnp.asarray(fb.order, dtype=I32),
+            quant=jnp.asarray(fb.quant, dtype=I32),
+            rice_mult=jnp.asarray(fb.rice_mult, dtype=I32),
+            rc=jnp.asarray(fb.rc, dtype=I32),
+            kmod=jnp.asarray(fb.kmod, dtype=I32),
+            init_history=jnp.asarray(fb.init_history, dtype=I32),
+            kmask=jnp.asarray(fb.kmask, dtype=I32),
+        )
+
+
+def _extra_bits(words, m: FrameMetaArrays, S: int):
+    """Extra-bits side channel, interleaved A,B per sample (:634-641)."""
+    B = words.shape[0]
+    ub8 = (m.ub * 8).astype(I32)
+    nch = 1 + m.is_stereo.astype(I32)
+    stride = (ub8 * nch)[:, None]
+    idx = jnp.arange(S, dtype=I32)[None, :]
+    pos_a = m.payload_pos[:, None] + idx * stride
+    nb = jnp.maximum(ub8, 8)[:, None]
+    extra_a = gather_bits(words, pos_a, nb).astype(I32)
+    extra_b = gather_bits(words, pos_a + ub8[:, None], nb).astype(I32)
+    valid = (m.ub > 0)[:, None]
+    zero = jnp.zeros((B, S), I32)
+    return (
+        jnp.where(valid, extra_a, zero),
+        jnp.where(valid & m.is_stereo[:, None], extra_b, zero),
+    )
+
+
+def _raw_pcm(words, m: FrameMetaArrays, S: int):
+    """Uncompressed frame bodies (:500-524,665-696)."""
+    ss = m.sample_size
+    nch = 1 + m.is_stereo.astype(I32)
+    stride = (ss * nch)[:, None]
+    idx = jnp.arange(S, dtype=I32)[None, :]
+    pos_a = m.payload_pos[:, None] + idx * stride
+    raw_a = gather_bits(words, pos_a, ss[:, None]).astype(I32)
+    raw_b = gather_bits(words, pos_a + ss[:, None], ss[:, None]).astype(I32)
+
+    def extend(v):
+        # ss <= 16: plain sign extension; ss > 16: the reference's
+        # hard-coded 24-bit (x ^ m) - m form (:512-521).
+        le16 = signext(v, ss[:, None])
+        mbit = 1 << 23
+        gt16 = ((v & 0xFFFFFF) ^ mbit) - mbit
+        return jnp.where((ss <= 16)[:, None], le16, gt16)
+
+    return extend(raw_a), extend(raw_b)
+
+
+def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
+    return RiceParams(
+        rss=m.rss,
+        kmod=m.kmod,
+        init_history=m.init_history,
+        mult=m.rice_mult[:, chan],
+        kmask=m.kmask,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def decode_frames(words, meta: FrameMetaArrays, num_samples: int):
+    """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
+
+    Output samples are final PCM integers (decorrelated, extra-bits
+    merged, sign-extended); channel 1 is zero for mono lanes (the
+    reference's mono-in-stereo silence, AlacFile.cs:536-540) and samples
+    at i >= n are zero.
+    """
+    S = num_samples
+    B = words.shape[0]
+    words = words.astype(U32)
+    m = meta
+
+    n = jnp.minimum(m.n_samples, S)
+    n_comp = jnp.where(m.is_compressed, n, 0)
+    n_b = jnp.where(m.is_stereo, n_comp, 0)
+
+    # ---- compressed path ----
+    any_extra = jnp.any(m.ub > 0)
+    extra_a, extra_b = jax.lax.cond(
+        any_extra,
+        lambda: _extra_bits(words, m, S),
+        lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32)),
+    )
+    err_a, pos_after_a = rice_decode(
+        words, m.entropy_pos, n_comp, _rice_params(m, 0), S
+    )
+    err_b, _ = rice_decode(words, pos_after_a, n_b, _rice_params(m, 1), S)
+
+    # LPC over both channels as one 2B-lane scan.
+    errs = jnp.concatenate([err_a, err_b], axis=0)
+    lpc_p = LpcParams(
+        order=jnp.concatenate([m.order[:, 0], m.order[:, 1]]),
+        quant=jnp.concatenate([m.quant[:, 0], m.quant[:, 1]]),
+        rc=jnp.concatenate([m.rc[:, 0], m.rc[:, 1]], axis=0),
+        rss=jnp.concatenate([m.rss, m.rss]),
+    )
+    lpc_out = lpc_decode(errs, jnp.concatenate([n_comp, n_b]), lpc_p, S)
+    out_a, out_b = lpc_out[:B], lpc_out[B:]
+
+    # ---- raw path (cond'd out when every lane is compressed) ----
+    any_raw = jnp.any(~m.is_compressed)
+    raw_a, raw_b = jax.lax.cond(
+        any_raw,
+        lambda: _raw_pcm(words, m, S),
+        lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32)),
+    )
+    comp = m.is_compressed[:, None]
+    a = jnp.where(comp, out_a, raw_a)
+    b = jnp.where(comp, out_b, raw_b)
+
+    # ---- decorrelation (:338-421) ----
+    lw = jnp.where(m.is_compressed, m.interlacing_leftweight, 0)[:, None]
+    # C# shift counts are masked & 31 (an 8-bit field feeds a >> at :349).
+    sh = jnp.where(m.is_compressed, m.interlacing_shift, 0)[:, None] & 31
+    right_w = a - sra(b * lw, sh)
+    left_w = right_w + b
+    use_w = (lw != 0) & m.is_stereo[:, None]
+    left = jnp.where(use_w, left_w, a)
+    right = jnp.where(use_w, right_w, b)
+
+    # ---- extra-bits merge (:381-395,549-554) ----
+    ub8 = jnp.where(m.is_compressed, m.ub * 8, 0)[:, None]
+    mask = shl(jnp.full_like(ub8, -1), ub8) ^ jnp.full_like(ub8, -1)
+    has_extra = ub8 > 0
+    left = jnp.where(has_extra, shl(left, ub8) | (extra_a & mask), left)
+    right = jnp.where(
+        has_extra & m.is_stereo[:, None],
+        shl(right, ub8) | (extra_b & mask),
+        right,
+    )
+
+    # mono lanes: silent channel 1 (:536-540,563-565); mask the tail.
+    live = jnp.arange(S, dtype=I32)[None, :] < n[:, None]
+    left = jnp.where(live, left, 0)
+    right = jnp.where(live & m.is_stereo[:, None], right, 0)
+    return jnp.stack([left, right], axis=-1), n

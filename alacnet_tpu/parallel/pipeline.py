@@ -1,0 +1,85 @@
+"""Host->device decode orchestration: bucketing, padding, dispatch.
+
+Stage structure (SURVEY.md §2.5 "PP"): stage 1 slices coded frames and
+parses headers on the host (codec/framemeta.py), stage 2 runs the fused
+batched decode on device (ops/frame_decode.py), stage 3 trims and formats
+PCM on the host (pcm.py).  Batch and word-width are padded to a small set
+of buckets so arbitrary workloads reuse a handful of XLA executables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.cookie import CodecParams
+from ..codec.framemeta import FrameBatch, parse_frame_headers
+from ..ops.frame_decode import FrameMetaArrays, decode_frames
+
+#: Lane-count buckets (powers of two up to the per-chip flight size from
+#: BASELINE.json: "4096 frames in flight per chip").
+BATCH_BUCKETS = (8, 64, 256, 1024, 4096)
+#: Word-width rounding (uint32 words; 256 words = 1 KiB payload).
+WORD_BUCKET = 256
+
+
+def _round_batch(b: int) -> int:
+    for s in BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return -(-b // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
+
+
+def _pad_axis0(a: np.ndarray, b: int) -> np.ndarray:
+    if a.shape[0] == b:
+        return a
+    pad = [(0, b - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
+    """Pad lanes to a bucketed batch size; padded lanes have n_samples=0."""
+    b = _round_batch(fb.batch) if batch is None else batch
+    w = -(-fb.words.shape[1] // WORD_BUCKET) * WORD_BUCKET
+    words = np.zeros((b, w), dtype=np.uint32)
+    words[: fb.batch, : fb.words.shape[1]] = fb.words
+    fields = {"words": words}
+    for f in dataclasses.fields(fb):
+        if f.name == "words":
+            continue
+        fields[f.name] = _pad_axis0(getattr(fb, f.name), b)
+    return FrameBatch(**fields)
+
+
+def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a parsed FrameBatch -> (samples (B, S, 2) int32, n (B,))."""
+    orig_b = fb.batch
+    fb = pad_frame_batch(fb)
+    meta = FrameMetaArrays.from_batch(fb)
+    out, n = decode_frames(jnp.asarray(fb.words), meta, max_samples)
+    return np.asarray(out[:orig_b]), np.asarray(n[:orig_b])
+
+
+def decode_payloads(
+    payloads: list[bytes],
+    params: list[CodecParams] | CodecParams,
+    max_samples: int,
+    batch_limit: int = BATCH_BUCKETS[-1],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse + decode coded frame payloads in bucketed device batches.
+
+    Returns (samples (F, S, 2) int32, n (F,) int32) across all frames.
+    """
+    outs, ns = [], []
+    for lo in range(0, len(payloads), batch_limit):
+        chunk = payloads[lo : lo + batch_limit]
+        p = params if isinstance(params, CodecParams) else params[lo : lo + batch_limit]
+        fb = parse_frame_headers(chunk, p)
+        out, n = decode_frame_batch(fb, max_samples)
+        outs.append(out)
+        ns.append(n)
+    if not outs:
+        return np.zeros((0, max_samples, 2), np.int32), np.zeros(0, np.int32)
+    return np.concatenate(outs), np.concatenate(ns)

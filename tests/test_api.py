@@ -1,0 +1,195 @@
+"""Public API tests: AlacContext, ALACFileReader, CLI, WAV I/O.
+
+Covers the reference's session/adapter surface (SURVEY.md §1 L2/L3/L4):
+frame-at-a-time reads, metadata getters with defaults, sample-accurate
+seek with the post-seek leading-sample trim, leftover-buffered byte reads
+and mid-stream repositioning.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import alacnet_tpu
+from alacnet_tpu import AlacContext, ALACFileReader
+from alacnet_tpu.codec.encoder import EncoderConfig
+from alacnet_tpu.pcm import format_pcm_bytes, parse_pcm_bytes, read_wav, write_wav
+
+from .corpus import encode_to_bytes, tone
+
+
+@pytest.fixture(scope="module")
+def stereo16():
+    pcm = tone(4096 * 2 + 500, 2, 16)
+    return pcm, encode_to_bytes(pcm, 44100, 16, EncoderConfig(order=6))
+
+
+class TestAlacContext:
+    def test_metadata(self, stereo16):
+        pcm, data = stereo16
+        with AlacContext(io.BytesIO(data)) as ctx:
+            assert ctx.get_sample_rate() == 44100
+            assert ctx.get_num_channels() == 2
+            assert ctx.get_bits_per_sample() == 16
+            assert ctx.get_bytes_per_sample() == 2
+            assert ctx.get_num_samples() == pcm.shape[0]
+
+    def test_read_frames_sequential(self, stereo16):
+        pcm, data = stereo16
+        ctx = AlacContext(io.BytesIO(data))
+        got = ctx.read_all()
+        np.testing.assert_array_equal(got, pcm)
+        assert ctx.read_frame().size == 0  # EOF
+        assert ctx.read() == b""
+
+    def test_read_bytes_matches_reference_format(self, stereo16):
+        pcm, data = stereo16
+        ctx = AlacContext(io.BytesIO(data))
+        first = ctx.read()
+        np.testing.assert_array_equal(
+            parse_pcm_bytes(first, 2, 2), pcm[:4096]
+        )
+        # last_sample_number advances by stts duration (AlacContext.cs:199)
+        assert ctx.last_sample_number == 4096
+
+    def test_seek_mid_frame_trims_offset(self, stereo16):
+        pcm, data = stereo16
+        ctx = AlacContext(io.BytesIO(data))
+        ctx.set_position(5000)  # inside frame 1
+        # Reference quirk preserved: SetPosition parks LastSampleNumber at
+        # the end of the bracketing frame (AlacContext.cs:278-283), and the
+        # next UnpackSamples adds the frame duration *again* (:199), so
+        # after seek(5000) + one read it reads 8192 + 4096.
+        assert ctx.last_sample_number == 8192
+        got = ctx.read_frame()
+        np.testing.assert_array_equal(got, pcm[5000:8192])
+        assert ctx.last_sample_number == 12288
+
+    def test_seek_past_eof_is_noop(self, stereo16):
+        _, data = stereo16
+        ctx = AlacContext(io.BytesIO(data))
+        ctx.read_frame()
+        before = ctx.last_sample_number
+        ctx.set_position(10**9)
+        assert ctx.last_sample_number == before
+
+    def test_seek_backwards_and_forwards(self, stereo16):
+        pcm, data = stereo16
+        ctx = AlacContext(io.BytesIO(data))
+        ctx.set_position(8192 + 100)
+        a = ctx.read_frame()
+        ctx.set_position(10)
+        b = ctx.read_frame()
+        np.testing.assert_array_equal(a, pcm[8292 : 4096 * 2 + 500])
+        np.testing.assert_array_equal(b, pcm[10:4096])
+
+
+class TestALACFileReader:
+    def test_wave_format_and_length(self, stereo16):
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        assert r.wave_format.sample_rate == 44100
+        assert r.wave_format.bits_per_sample == 16
+        assert r.wave_format.channels == 2
+        assert r.wave_format.block_align == 4
+        assert r.length == pcm.shape[0] * 4
+        assert abs(r.total_time - pcm.shape[0] / 44100) < 1e-9
+
+    def test_chunked_reads_arbitrary_sizes(self, stereo16):
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        chunks, sizes = [], [1, 3, 4097, 64, 100000, 5]
+        i = 0
+        while True:
+            c = r.read(sizes[i % len(sizes)])
+            i += 1
+            if not c:
+                break
+            chunks.append(c)
+        got = parse_pcm_bytes(b"".join(chunks), 2, 2)
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_reposition_mid_stream(self, stereo16):
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        r.read(999)  # fill leftovers
+        r.position = r.length // 2
+        half_sample = (r.length // 2) // 4
+        got = parse_pcm_bytes(r.read(400), 2, 2)
+        np.testing.assert_array_equal(got, pcm[half_sample : half_sample + 100])
+
+    def test_position_reflects_last_sample(self, stereo16):
+        _, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        r.read(10)
+        assert r.position == 4096 * 4  # one frame decoded
+
+    def test_readinto(self, stereo16):
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        buf = bytearray(100)
+        assert r.readinto(buf, 0, 100) == 100
+        np.testing.assert_array_equal(
+            parse_pcm_bytes(bytes(buf), 2, 2), pcm[:25]
+        )
+
+
+class TestWav:
+    def test_wav_roundtrip_16(self):
+        pcm = tone(1000, 2, 16)
+        buf = io.BytesIO()
+        write_wav(buf, pcm, 44100, 16, 2)
+        buf.seek(0)
+        got, rate, bits = read_wav(buf)
+        assert (rate, bits) == (44100, 16)
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_wav_roundtrip_24(self):
+        pcm = tone(1000, 2, 24, noise=2000.0)
+        buf = io.BytesIO()
+        write_wav(buf, pcm, 96000, 24, 2)
+        buf.seek(0)
+        got, rate, bits = read_wav(buf)
+        assert (rate, bits) == (96000, 24)
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_format_pcm_24_bytes(self):
+        got = format_pcm_bytes(np.array([[1, -1]], np.int32), 3)
+        assert got == bytes([1, 0, 0, 0xFF, 0xFF, 0xFF])
+
+
+class TestCli:
+    def test_info_decode_encode(self, tmp_path, stereo16, capsys):
+        from alacnet_tpu.cli import main
+
+        pcm, data = stereo16
+        m4a = tmp_path / "t.m4a"
+        m4a.write_bytes(data)
+        assert main(["info", str(m4a)]) == 0
+        out = capsys.readouterr().out
+        assert "44100 Hz" in out
+
+        wav = tmp_path / "t.wav"
+        assert main(["decode", str(m4a), str(wav)]) == 0
+        with open(wav, "rb") as f:
+            got, rate, bits = read_wav(f)
+        np.testing.assert_array_equal(got, pcm)
+
+        m4a2 = tmp_path / "t2.m4a"
+        assert main(["encode", str(wav), str(m4a2), "--order", "4"]) == 0
+        got2 = alacnet_tpu.decode_file(str(m4a2)).pcm
+        np.testing.assert_array_equal(got2, pcm)
+
+    def test_decode_seek_middle(self, tmp_path, stereo16):
+        from alacnet_tpu.cli import main
+
+        pcm, data = stereo16
+        m4a = tmp_path / "t.m4a"
+        m4a.write_bytes(data)
+        wav = tmp_path / "half.wav"
+        assert main(["decode", str(m4a), str(wav), "--seek-middle"]) == 0
+        with open(wav, "rb") as f:
+            got, _, _ = read_wav(f)
+        half = (pcm.shape[0] * 4 // 2) // 4
+        np.testing.assert_array_equal(got, pcm[half:])
