@@ -84,17 +84,31 @@ def run_benchmark(
     host_parse_s = time.perf_counter() - t0
     fb = pad_frame_batch(fb, batch)
     meta = FrameMetaArrays.from_batch(fb)
-    words = jnp.asarray(fb.words)
+    # Distinct input buffers per repeat: identical repeated dispatches can
+    # be short-circuited by the runtime (observed on the axon platform),
+    # so roll the lane axis — same work, different buffers.  Metadata must
+    # roll identically to stay consistent with the payloads.
+    variants = []
+    for r in range(repeats + 1):  # +1: warm-up gets its own buffers
+        w = np.roll(fb.words, r, axis=0)
+        mv = FrameMetaArrays.from_batch(fb)._replace(
+            **{
+                f: jnp.asarray(np.roll(np.asarray(getattr(meta, f)), r, axis=0))
+                for f in FrameMetaArrays._fields
+            }
+        )
+        variants.append((jnp.asarray(w), mv))
 
     # Warm-up (compile)
-    out, n = decode_frames(words, meta, frame_samples)
-    out.block_until_ready()
+    out, n = decode_frames(*variants[repeats], frame_samples)
+    _ = jnp.sum(out).item()
 
     times = []
-    for _ in range(repeats):
+    for r in range(repeats):
+        w, mv = variants[r]
         t0 = time.perf_counter()
-        out, n = decode_frames(words, meta, frame_samples)
-        out.block_until_ready()
+        out, n = decode_frames(w, mv, frame_samples)
+        _ = jnp.sum(out).item()  # force full materialization
         times.append(time.perf_counter() - t0)
     best = min(times)
     total_samples = int(np.asarray(n).sum())

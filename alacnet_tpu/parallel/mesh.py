@@ -1,0 +1,66 @@
+"""Multi-chip sharding: frame-batch data parallelism over a device mesh.
+
+ALAC frames are fully independent (all decoder state is re-read from the
+bitstream per frame, AlacFile.cs:432-434), so the primary axis is DP over
+frames (SURVEY.md §2.5): `jax.sharding` partitions the lane axis of every
+batch array across the mesh and XLA runs the identical fused decode on
+each chip's shard with zero cross-chip traffic in the decode math.  The
+only collectives are reductions/gathers over *results* (throughput
+accounting, checksum), which ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.frame_decode import FrameMetaArrays, decode_frames
+
+FRAME_AXIS = "frames"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, frame-parallel."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (FRAME_AXIS,))
+
+
+def shard_frame_batch(fb, mesh: Mesh):
+    """Place a padded FrameBatch onto the mesh, lane axis sharded."""
+    sh = NamedSharding(mesh, P(FRAME_AXIS))
+    words = jax.device_put(jnp.asarray(fb.words), sh)
+    meta = FrameMetaArrays.from_batch(fb)
+    meta = FrameMetaArrays(
+        *(jax.device_put(x, NamedSharding(mesh, P(FRAME_AXIS))) for x in meta)
+    )
+    return words, meta
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def _decode_and_account(words, meta, num_samples: int):
+    """Sharded decode + the cross-chip accounting collectives.
+
+    The decode itself is embarrassingly parallel; the sample count and a
+    PCM checksum are global reductions (XLA inserts psums over ICI).
+    """
+    out, n = decode_frames(words, meta, num_samples)
+    total_samples = jnp.sum(n.astype(jnp.int32))
+    checksum = jnp.sum(out.astype(jnp.int32))  # wraps mod 2^32 (x64 disabled)
+    return out, n, total_samples, checksum
+
+
+def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
+    """Decode a FrameBatch across every chip in the mesh.
+
+    Returns (samples (B, S, 2) — sharded on the frame axis, n (B,),
+    total_samples, checksum).  ``fb.batch`` must be divisible by the mesh
+    size (use parallel.pipeline.pad_frame_batch).
+    """
+    words, meta = shard_frame_batch(fb, mesh)
+    with mesh:
+        return _decode_and_account(words, meta, num_samples)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codec.cookie import CodecParams
-from ..codec.framemeta import FrameBatch, parse_frame_headers
+from ..codec.framemeta import FrameBatch
+from ..codec.framemeta_vec import parse_frame_headers_vec as parse_frame_headers
 from ..ops.frame_decode import FrameMetaArrays, decode_frames
 
 #: Lane-count buckets (powers of two up to the per-chip flight size from

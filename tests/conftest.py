@@ -8,7 +8,11 @@ dryrun_multichip environment.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the harness pre-sets an accelerator platform: the
+# test suite targets the virtual 8-device mesh (set ALAC_TEST_TPU=1 to run
+# against real hardware instead).
+if not os.environ.get("ALAC_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,5 +29,9 @@ def rng():
 
 import jax  # noqa: E402
 
+if not os.environ.get("ALAC_TEST_TPU"):
+    # The axon sitecustomize force-sets jax_platforms to "axon,cpu" at
+    # interpreter start; override it back for the CPU-mesh test suite.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
