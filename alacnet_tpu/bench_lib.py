@@ -18,7 +18,7 @@ import numpy as np
 
 from .codec.encoder import AlacEncoder, EncoderConfig
 from .codec.cookie import default_cookie
-from .codec.framemeta import parse_frame_headers
+from .codec.framemeta_vec import parse_frame_headers_vec as parse_frame_headers
 from .ops.frame_decode import FrameMetaArrays, decode_frames
 from .parallel.pipeline import pad_frame_batch
 
@@ -83,6 +83,9 @@ def run_benchmark(
     fb = parse_frame_headers(payloads, params)
     host_parse_s = time.perf_counter() - t0
     fb = pad_frame_batch(fb, batch)
+    from .parallel.pipeline import _fused_plan
+
+    use_fused, max_order = _fused_plan(fb)
     meta = FrameMetaArrays.from_batch(fb)
     # Distinct input buffers per repeat: identical repeated dispatches can
     # be short-circuited by the runtime (observed on the axon platform),
@@ -98,16 +101,25 @@ def run_benchmark(
             }
         )
         variants.append((jnp.asarray(w), mv))
+    import jax
+
+    for v in variants:  # stage on device before timing (tunnel xfer is slow)
+        jax.block_until_ready(v[0])
+        jax.block_until_ready(list(v[1]))
 
     # Warm-up (compile)
-    out, n = decode_frames(*variants[repeats], frame_samples)
+    out, n = decode_frames(
+        *variants[repeats], frame_samples, use_fused=use_fused, max_order=max_order
+    )
     _ = jnp.sum(out).item()
 
     times = []
     for r in range(repeats):
         w, mv = variants[r]
         t0 = time.perf_counter()
-        out, n = decode_frames(w, mv, frame_samples)
+        out, n = decode_frames(
+            w, mv, frame_samples, use_fused=use_fused, max_order=max_order
+        )
         _ = jnp.sum(out).item()  # force full materialization
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -130,4 +142,5 @@ def run_benchmark(
         "host_parse_s": round(host_parse_s, 5),
         "repeats": repeats,
         "backend": jax.default_backend(),
+        "fused_kernel": use_fused,
     }

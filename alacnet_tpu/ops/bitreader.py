@@ -37,7 +37,9 @@ def pack_frames_to_words(frames: list[bytes], max_bytes: int | None = None) -> n
     """
     if max_bytes is None:
         max_bytes = max((len(f) for f in frames), default=0)
-    nwords = -(-max_bytes // 4) + WINDOW_PAD
+    # Rounded to a multiple of 8 words: the fused Pallas kernel's word
+    # table is grouped in 8-word tiles (ops/pallas/rice_lpc.py).
+    nwords = -(-(-(-max_bytes // 4) + WINDOW_PAD) // 8) * 8
     B = len(frames)
     out = np.zeros((B, nwords * 4), dtype=np.uint8)
     if B:

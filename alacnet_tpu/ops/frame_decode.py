@@ -124,14 +124,27 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
-def decode_frames(words, meta: FrameMetaArrays, num_samples: int):
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "use_fused", "max_order")
+)
+def decode_frames(
+    words,
+    meta: FrameMetaArrays,
+    num_samples: int,
+    use_fused: bool = False,
+    max_order: int = 31,
+):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
     Output samples are final PCM integers (decorrelated, extra-bits
     merged, sign-extended); channel 1 is zero for mono lanes (the
     reference's mono-in-stereo silence, AlacFile.cs:536-540) and samples
     at i >= n are zero.
+
+    ``use_fused`` selects the Pallas fused Rice+LPC kernel
+    (ops/pallas/rice_lpc.py; requires B % 1024 == 0, W % 8 == 0, TPU) —
+    ~6x the XLA scan path on v5e.  ``max_order`` statically bounds the
+    adaptive-FIR walks in the fused kernel.
     """
     S = num_samples
     B = words.shape[0]
@@ -149,21 +162,37 @@ def decode_frames(words, meta: FrameMetaArrays, num_samples: int):
         lambda: _extra_bits(words, m, S),
         lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32)),
     )
-    err_a, pos_after_a = rice_decode(
-        words, m.entropy_pos, n_comp, _rice_params(m, 0), S
-    )
-    err_b, _ = rice_decode(words, pos_after_a, n_b, _rice_params(m, 1), S)
+    if use_fused:
+        from .pallas.rice_lpc import fused_rice_lpc
 
-    # LPC over both channels as one 2B-lane scan.
-    errs = jnp.concatenate([err_a, err_b], axis=0)
-    lpc_p = LpcParams(
-        order=jnp.concatenate([m.order[:, 0], m.order[:, 1]]),
-        quant=jnp.concatenate([m.quant[:, 0], m.quant[:, 1]]),
-        rc=jnp.concatenate([m.rc[:, 0], m.rc[:, 1]], axis=0),
-        rss=jnp.concatenate([m.rss, m.rss]),
-    )
-    lpc_out = lpc_decode(errs, jnp.concatenate([n_comp, n_b]), lpc_p, S)
-    out_a, out_b = lpc_out[:B], lpc_out[B:]
+        out_a, pos_after_a = fused_rice_lpc(
+            words, m.entropy_pos, n_comp,
+            m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
+            m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
+            S, max_order=max_order,
+        )
+        out_b, _ = fused_rice_lpc(
+            words, pos_after_a, n_b,
+            m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
+            m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
+            S, max_order=max_order,
+        )
+    else:
+        err_a, pos_after_a = rice_decode(
+            words, m.entropy_pos, n_comp, _rice_params(m, 0), S
+        )
+        err_b, _ = rice_decode(words, pos_after_a, n_b, _rice_params(m, 1), S)
+
+        # LPC over both channels as one 2B-lane scan.
+        errs = jnp.concatenate([err_a, err_b], axis=0)
+        lpc_p = LpcParams(
+            order=jnp.concatenate([m.order[:, 0], m.order[:, 1]]),
+            quant=jnp.concatenate([m.quant[:, 0], m.quant[:, 1]]),
+            rc=jnp.concatenate([m.rc[:, 0], m.rc[:, 1]], axis=0),
+            rss=jnp.concatenate([m.rss, m.rss]),
+        )
+        lpc_out = lpc_decode(errs, jnp.concatenate([n_comp, n_b]), lpc_p, S)
+        out_a, out_b = lpc_out[:B], lpc_out[B:]
 
     # ---- raw path (cond'd out when every lane is compressed) ----
     any_raw = jnp.any(~m.is_compressed)

@@ -1,0 +1,386 @@
+"""Fused Rice + adaptive-LPC decode as a single Pallas TPU kernel.
+
+This is the framework's flagship kernel: it replaces the XLA lax.scan
+pipeline (ops/rice.py + ops/lpc.py) whose throughput is capped by
+per-step loop overhead (~10us) and gather lowering (~100us/step at
+B=4096, measured on v5e).  Here the whole per-sample loop runs *inside*
+one kernel invocation with all state in vector registers / VMEM, so a
+step costs hundreds of VPU cycles instead of hundreds of microseconds.
+
+Design (see SURVEY.md §7 "hard parts"):
+
+  * **Lane layout** — 1024 frames per grid block, shaped (8, 128) so
+    every elementwise state op is one full vreg.  All decoder state
+    (bit cursor, Rice history, reservoir, LPC window/coefs) is per-lane.
+
+  * **Bit reservoir** — each lane carries 4 words R0..R3 holding bits
+    [32*wp, 32*wp+128).  At step start the intra-word offset is <= 31,
+    and a worst-case Rice event (9-bit unary + 32-bit escape + 9+16-bit
+    zero-run block = 66 bits) needs offset+66 <= 97 < 128, so every
+    field of the event is extracted from the reservoir with pure vector
+    math — no loads in the hot path.
+
+  * **Word fetch** — after each step the reservoir shifts by 0..3 words.
+    New words are fetched from the VMEM-resident transposed word table
+    (W8, 8, 8, 128) with a bounded sweep over 8-word groups: per group
+    one hardware sublane-gather (`take_along_axis` axis=0 on (8, 1024),
+    Mosaic DynamicGatherOp) plus a match/select.  The sweep range is the
+    min..max group actually needed across lanes this step — frames are
+    size-sorted into blocks upstream, so the range is typically 1-2.
+
+  * **LPC fusion** — the Rice output feeds the adaptive FIR directly
+    (base-aligned window D and reversed coefs rc, see ops/lpc.py for the
+    layout proof).  D lives in a VMEM ring buffer; the FIR and the
+    adaptive coefficient walk run to the *block's* max order, not 31.
+
+  * **Output** — samples accumulate in a VMEM tile and DMA to HBM every
+    OUT_TILE steps.
+
+Semantics are bit-exact to the scalar oracle (codec/scalar.py) — the
+parity suite runs this kernel in interpreter mode on CPU and compiled on
+TPU against the same corpus as the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...codec.cookie import RICE_THRESHOLD
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+LANES = 1024  # frames per grid block, shaped (8, 128)
+SUB, LN = 8, 128
+OUT_TILE = 256  # samples buffered between output DMAs
+MAX_ORDER = 31
+
+# Parameter-plane rows (params array (NP, 8, 128)).
+P_START, P_N, P_RSS, P_KMOD, P_IHIST, P_MULT, P_KMASK, P_ORDER, P_QUANT = range(9)
+NP = 16  # padded row count
+
+
+def _sel4(wi, a, b, c, d):
+    """Per-lane 4-way select by wi in 0..3."""
+    return jnp.where(wi == 0, a, jnp.where(wi == 1, b, jnp.where(wi == 2, c, d)))
+
+
+def _bits(R, roff, off, n):
+    """Extract an n-bit field at reservoir bit offset roff+off.
+
+    R: 4x (8,128) uint32 words; roff+off <= 81, n in [1, 32].  Mirrors
+    the reference's Readbits composition (AlacFile.cs:101-129).
+    """
+    p = roff + off
+    wi = p >> 5
+    s2 = (p & 31).astype(U32)
+    hi = _sel4(wi, R[0], R[1], R[2], R[3])
+    lo = _sel4(wi, R[1], R[2], R[3], R[3])
+    x = (hi << s2) | jnp.where(s2 == 0, jnp.zeros_like(lo), lo >> ((32 - s2) & 31))
+    n = jnp.asarray(n, U32)
+    return (x >> ((32 - n) & 31)).astype(U32)
+
+
+def _clz32(x):
+    return jax.lax.clz(x.astype(U32)).astype(I32)
+
+
+def _sra(x, n):
+    return jax.lax.shift_right_arithmetic(x.astype(I32), n.astype(I32))
+
+
+def _decode_event(R, roff, off, rss, k, mult_mask):
+    """One entropy_decode_value from the reservoir (AlacFile.cs:193-212).
+
+    Returns (value i32, consumed bits i32).  All (8,128) int32.
+    """
+    u9 = _bits(R, roff, off, 9).astype(I32)
+    inv = (~u9) & 0x1FF
+    x = jnp.minimum(_clz32((inv << 23).astype(I32)), RICE_THRESHOLD + 1)
+    ucons = jnp.where(x > RICE_THRESHOLD, 9, x + 1)
+    field_off = off + ucons
+    esc = x > RICE_THRESHOLD
+    esc_val = _bits(R, roff, field_off, rss).astype(I32)
+    k_safe = jnp.clip(k, 1, 31)
+    extra = _bits(R, roff, field_off, k_safe).astype(I32)
+    m = ((jnp.full_like(k_safe, 1) << k_safe) - 1) & mult_mask
+    vk = x * m + jnp.where(extra > 1, extra - 1, 0)
+    k_cons = jnp.where(extra > 1, k_safe, k_safe - 1)
+    is_k1 = k == 1
+    value = jnp.where(esc, esc_val, jnp.where(is_k1, x, vk))
+    consumed = ucons + jnp.where(esc, rss, jnp.where(is_k1, 0, k_cons))
+    return value.astype(I32), consumed.astype(I32)
+
+
+def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
+            wvmem, otile, D_ref, rc_ref, sem_w, sem_o, *, W8, S, max_order,
+            out_tile):
+    nb = pl.program_id(0)
+    # Stage this block's word table into VMEM (single rectangular DMA).
+    cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
+    cp.start()
+
+    start = params_ref[0, P_START]
+    n = params_ref[0, P_N]
+    rss = params_ref[0, P_RSS]
+    kmod = params_ref[0, P_KMOD]
+    ihist = params_ref[0, P_IHIST]
+    mult = params_ref[0, P_MULT]
+    kmask = params_ref[0, P_KMASK]
+    order = params_ref[0, P_ORDER]
+    quant = params_ref[0, P_QUANT]
+    qshift = (quant - 1) & 31
+
+    for t in range(MAX_ORDER + 1):
+        rc_ref[t] = rc_in_ref[0, t]
+        D_ref[t] = jnp.zeros((SUB, LN), I32)
+
+    is_pass = order == 0
+    is_int31 = order == MAX_ORDER
+    append_slot = order  # D ring slot written each step (base-aligned)
+    tmax = max_order  # static: block-level max adaptive-walk depth
+
+    cp.wait()
+
+    def fetch_words(wp, live, K: int):
+        """Fetch words wp..wp+K-1 per live lane via a group sweep.
+
+        wp: (8,128) word indices (clamped to table); returns K (8,128)
+        uint32 words.  Sweep covers [min_g, max_g] over live lanes.
+        """
+        wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
+        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
+        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
+        acc = [jnp.zeros((SUB, LN), U32) for _ in range(K)]
+
+        def body(g, acc):
+            tile = wvmem[g].reshape(SUB, SUB * LN)  # (8 words, 1024 lanes)
+            out = []
+            for k in range(K):
+                o = (wps[k] & 7).reshape(1, SUB * LN)
+                idx = jnp.broadcast_to(o, (SUB, SUB * LN))
+                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
+                got = got.reshape(SUB, LN).astype(U32)
+                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
+            return out
+
+        acc = jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
+        return acc
+
+    # ---- reservoir init: R = words[wp0 .. wp0+4) ----
+    live0 = n > 0
+    wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
+    R = fetch_words(wp0, live0, 4)
+
+    def step(i, carry):
+        bitpos, wp, R0, R1, R2, R3, hist, signmod, zrun, prev = carry
+        R = (R0, R1, R2, R3)
+        active = i < n
+        in_zero = zrun > 0
+        do = active & jnp.logical_not(in_zero)
+        roff = bitpos - (wp << 5)
+
+        # ---- Rice event (AlacFile.cs:214-252) ----
+        k = jnp.minimum(31 - _clz32(_sra(hist, jnp.full((SUB, LN), 9, I32)) + 3), kmod)
+        raw, consumed = _decode_event(R, roff, jnp.zeros_like(roff), rss, k, jnp.full((SUB, LN), -1, I32))
+        dv = raw + signmod
+        tplus = dv + 1
+        almost = _sra(tplus, jnp.ones((SUB, LN), I32))
+        almost = jnp.where((tplus < 0) & ((tplus & 1) != 0), almost + 1, almost)
+        rice_val = jnp.where((dv & 1) != 0, -almost, almost)
+        hist2 = jnp.where(
+            dv > 0xFFFF,
+            jnp.full_like(hist, 0xFFFF),
+            hist + dv * mult - _sra(hist * mult, jnp.full((SUB, LN), 9, I32)),
+        )
+        zcond = (hist2 < 128) & (i + 1 < n)
+        hz = hist2
+        kz = _clz32(hz) + jnp.where(hz >= 0, (hz + 16) // 64, -((-(hz + 16)) // 64)) - 24
+        bsize, bcons = _decode_event(R, roff, consumed, jnp.full((SUB, LN), 16, I32), kz, kmask)
+        consumed_tot = consumed + jnp.where(zcond, bcons, 0)
+
+        err = jnp.where(do, rice_val, jnp.zeros_like(rice_val))
+
+        # ---- fused LPC (AlacFile.cs:256-336; layout per ops/lpc.py) ----
+        out_int = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(prev + err, (32 - rss) & 31), (32 - rss) & 31
+        )
+        base = D_ref[0]
+        fir = jnp.zeros((SUB, LN), I32)
+        for t in range(1, tmax + 1):
+            fir = fir + (D_ref[t] - base) * rc_ref[t]
+        outval = _sra(jax.lax.shift_left(jnp.ones((SUB, LN), I32), qshift) + fir, quant)
+        out_fir = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(outval + base + err, (32 - rss) & 31), (32 - rss) & 31
+        )
+        use_int = is_int31 | (i <= order)
+        is_first = i == 0
+        out = jnp.where(
+            is_first | is_pass, err, jnp.where(use_int, out_int, out_fir)
+        )
+
+        # adaptive coefficient walk (AlacFile.cs:312-332)
+        do_adapt = jnp.logical_not(is_pass | is_int31 | use_int | is_first) & active
+        pos_b = do_adapt & (err > 0)
+        neg_b = do_adapt & (err < 0)
+        ev = err
+        for t in range(tmax):
+            act_p = pos_b & (t < order) & (ev > 0)
+            act_n = neg_b & (t < order) & (ev < 0)
+            act = act_p | act_n
+            val = base - D_ref[t + 1]
+            sgn = (val > 0).astype(I32) - (val < 0).astype(I32)
+            se = jnp.where(act_p, sgn, jnp.where(act_n, -sgn, 0))
+            rc_ref[t + 1] = rc_ref[t + 1] - se
+            ev = jnp.where(act, ev - _sra(val * se, quant) * (t + 1), ev)
+
+        # D window: shift-left-by-one + append at per-lane slot `order`
+        # (base-aligned layout, ops/lpc.py); frozen lanes keep D intact.
+        for t in range(MAX_ORDER):
+            new_row = jnp.where(append_slot == t, out, D_ref[t + 1])
+            D_ref[t] = jnp.where(active, new_row, D_ref[t])
+        new_last = jnp.where(append_slot == MAX_ORDER, out, D_ref[MAX_ORDER])
+        D_ref[MAX_ORDER] = jnp.where(active, new_last, D_ref[MAX_ORDER])
+
+        # ---- emit ----
+        otile[(i % out_tile)] = jnp.where(active, out, jnp.zeros_like(out))
+
+        @pl.when((i % out_tile) == out_tile - 1)
+        def _flush():
+            cp = pltpu.make_async_copy(
+                otile, out_hbm.at[nb, pl.ds(i - (out_tile - 1), out_tile)], sem_o
+            )
+            cp.start()
+            cp.wait()
+
+        # ---- advance reservoir ----
+        bitpos2 = jnp.where(do, bitpos + consumed_tot, bitpos)
+        wp_new = bitpos2 >> 5
+        shifts = wp_new - wp
+        need = shifts > 0
+        F = fetch_words(wp + 4, need, 3)
+        R0n, R1n, R2n, R3n = R
+        for kk in range(3):
+            c = shifts > kk
+            R0n = jnp.where(c, R1n, R0n)
+            R1n = jnp.where(c, R2n, R1n)
+            R2n = jnp.where(c, R3n, R2n)
+            R3n = jnp.where(c, F[kk], R3n)
+
+        hist_n = jnp.where(do, jnp.where(zcond, jnp.zeros_like(hz), hz), hist)
+        sign_n = jnp.where(
+            do, jnp.where(zcond, jnp.where(bsize > 0xFFFF, 0, 1), 0), signmod
+        )
+        zrun_n = jnp.where(
+            do, jnp.where(zcond, bsize, 0), jnp.where(active & in_zero, zrun - 1, zrun)
+        )
+        prev_n = jnp.where(active, out, prev)
+        return (bitpos2, wp_new, R0n, R1n, R2n, R3n, hist_n, sign_n, zrun_n, prev_n)
+
+    zeros = jnp.zeros((SUB, LN), I32)
+    carry = (
+        start,
+        wp0,
+        R[0], R[1], R[2], R[3],
+        ihist,
+        zeros,
+        zeros,
+        zeros,
+    )
+    carry = jax.lax.fori_loop(0, S, step, carry)
+
+    # Final partial tile flush.
+    rem = S % out_tile
+    if rem:
+        cp = pltpu.make_async_copy(
+            otile.at[pl.ds(0, rem)], out_hbm.at[nb, pl.ds(S - rem, rem)], sem_o
+        )
+        cp.start()
+        cp.wait()
+
+    state_ref[0, 0] = carry[0]  # end bit position
+    for r in range(1, 8):
+        state_ref[0, r] = zeros
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "max_order", "interpret")
+)
+def fused_rice_lpc(
+    words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
+    start_bitpos,  # (B,) int32
+    n,  # (B,) int32 — 0 freezes a lane entirely
+    rss, kmod, init_history, mult, kmask,  # (B,) int32 rice params
+    order, quant, rc,  # (B,), (B,), (B, 32) int32 lpc params
+    num_samples: int,
+    max_order: int = MAX_ORDER,
+    interpret: bool = False,
+):
+    """Decode+reconstruct one channel for a lane batch.
+
+    Returns (out (B, num_samples) int32, end_bitpos (B,) int32).
+    """
+    B, W = words.shape
+    assert B % LANES == 0 and W % 8 == 0, (B, W)
+    NB = B // LANES
+    W8 = W // 8
+    S = num_samples
+
+    def lane_view(x):  # (B, ...) -> (NB, ..., 8, 128)
+        return x.reshape(NB, SUB, LN, *x.shape[1:])
+
+    # words: (B, W) -> (NB, W8, 8w, 8s, 128l)
+    wordsv = (
+        words.reshape(NB, SUB, LN, W8, 8).transpose(0, 3, 4, 1, 2)
+    )
+    params = jnp.stack(
+        [
+            start_bitpos, n, rss, kmod, init_history, mult, kmask, order, quant,
+        ]
+        + [jnp.zeros_like(n)] * (NP - 9),
+        axis=0,
+    ).astype(I32)  # (NP, B)
+    paramsv = params.reshape(NP, NB, SUB, LN).transpose(1, 0, 2, 3)
+    rcv = rc.astype(I32).reshape(NB, SUB, LN, MAX_ORDER + 1).transpose(0, 3, 1, 2)
+
+    out_tile = min(OUT_TILE, S)
+    kern = functools.partial(
+        _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile
+    )
+    out, state = pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, NP, SUB, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, MAX_ORDER + 1, SUB, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, SUB, LN), lambda b: (b, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, S, SUB, LN), I32),
+            jax.ShapeDtypeStruct((NB, 8, SUB, LN), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W8, SUB, SUB, LN), U32),
+            pltpu.VMEM((out_tile, SUB, LN), I32),
+            pltpu.VMEM((MAX_ORDER + 1, SUB, LN), I32),  # D ring
+            pltpu.VMEM((MAX_ORDER + 1, SUB, LN), I32),  # rc working copy
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(paramsv, rcv, wordsv)
+
+    out_b = out.transpose(0, 2, 3, 1).reshape(B, S)
+    end = state[:, 0].reshape(B)
+    return out_b, end

@@ -54,12 +54,40 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
     return FrameBatch(**fields)
 
 
+#: Fused-kernel eligibility: lane count and VMEM word-table cap
+#: (W8 * 8 KiB per 1024-lane block must leave room for staging).
+FUSED_MIN_BATCH = 1024
+FUSED_MAX_WORDS = 2700 * 8
+
+
+def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
+    """Decide Pallas-vs-XLA and the static adaptive-walk bound."""
+    import jax
+
+    use = (
+        jax.default_backend() == "tpu"
+        and fb.batch % FUSED_MIN_BATCH == 0
+        and fb.words.shape[1] % 8 == 0
+        and fb.words.shape[1] <= FUSED_MAX_WORDS
+    )
+    orders = fb.order[fb.order != 31]
+    max_order = int(orders.max()) if orders.size else 0
+    return use, max_order
+
+
 def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a parsed FrameBatch -> (samples (B, S, 2) int32, n (B,))."""
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
+    use_fused, max_order = _fused_plan(fb)
     meta = FrameMetaArrays.from_batch(fb)
-    out, n = decode_frames(jnp.asarray(fb.words), meta, max_samples)
+    out, n = decode_frames(
+        jnp.asarray(fb.words),
+        meta,
+        max_samples,
+        use_fused=use_fused,
+        max_order=max_order,
+    )
     return np.asarray(out[:orig_b]), np.asarray(n[:orig_b])
 
 
