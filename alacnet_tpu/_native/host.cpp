@@ -1,0 +1,205 @@
+// Native host runtime for alacnet_tpu: frame-record packing + header parse.
+//
+// This is the C++ tier of the host pipeline (stage 1 of SURVEY.md §2.5
+// "PP"): given the mdat blob and the stsz-derived (offset, size) table, it
+// simultaneously
+//   * packs every coded ALAC frame into a zero-padded big-endian uint32
+//     word grid (the device kernels' input layout, ops/bitreader.py), and
+//   * parses each frame's header (element tag, flags, per-channel
+//     prediction headers + coefficient tables — AlacFile.cs:435-475,
+//     577-632) into the per-lane parameter arrays of codec.framemeta.
+//
+// Exposed as a flat C ABI consumed via ctypes (alacnet_tpu/native.py);
+// the NumPy implementations remain as the portable fallback and the
+// differential oracle (tests/test_native.py).
+//
+// Build: g++ -O3 -shared -fPIC -fopenmp host.cpp -o libalachost.so
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kMaxOrder = 31;
+
+struct BitReader {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t idx = 0;
+  int acc = 0;
+
+  explicit BitReader(const uint8_t* b, int64_t n) : buf(b), len(n) {}
+
+  inline uint32_t byte_at(int64_t i) const {
+    return (i >= 0 && i < len) ? buf[i] : 0u;
+  }
+
+  // 1..16-bit big-endian read (AlacFile.cs:101-118).
+  inline uint32_t readbits16(int bits) {
+    uint32_t w = (byte_at(idx) << 16) | (byte_at(idx + 1) << 8) | byte_at(idx + 2);
+    uint32_t result = ((w << acc) & 0x00FFFFFFu) >> (24 - bits);
+    int na = acc + bits;
+    idx += na >> 3;
+    acc = na & 7;
+    return result;
+  }
+
+  // 1..32-bit big-endian read (AlacFile.cs:125-129).
+  inline uint32_t readbits(int bits_param) {
+    int bits = bits_param <= 16 ? bits_param : bits_param - 16;
+    uint32_t hi = bits_param <= 16 ? 0u : readbits16(16) << bits;
+    return hi | readbits16(bits);
+  }
+
+  inline int64_t bitpos() const { return idx * 8 + acc; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Pack ragged frames into a (B, nwords) big-endian->native uint32 grid.
+//   blob: concatenated file bytes;  offsets/sizes: (B,) int64
+//   words: preallocated (B * nwords) uint32, zeroed by callee
+void alac_pack_frames(const uint8_t* blob, int64_t blob_len,
+                      const int64_t* offsets, const int64_t* sizes,
+                      int64_t batch, int64_t nwords, uint32_t* words) {
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < batch; ++b) {
+    const int64_t off = offsets[b];
+    int64_t sz = sizes[b];
+    if (off < 0 || off > blob_len) sz = 0;
+    if (off + sz > blob_len) sz = blob_len - off;
+    const uint8_t* src = blob + off;
+    uint32_t* dst = words + b * nwords;
+    const int64_t full = sz / 4;
+    int64_t w = 0;
+    for (; w < full && w < nwords; ++w) {
+      const uint8_t* p = src + w * 4;
+      dst[w] = (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+               (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+    }
+    if (w < nwords) {
+      uint32_t tail = 0;
+      for (int64_t i = w * 4; i < sz; ++i) {
+        tail |= uint32_t(src[i]) << (24 - 8 * (i - w * 4));
+      }
+      if (sz - w * 4 > 0) dst[w++] = tail;
+      for (; w < nwords; ++w) dst[w] = 0;
+    }
+  }
+}
+
+// Parse every frame header. Per-frame cookie inputs:
+//   sample_size, kmod, init_history, hist_mult4 (historymult/4),
+//   max_samples — all (B,) int32.
+// Outputs (preallocated): see codec/framemeta.FrameBatch; rc is the
+// base-aligned reversed coefficient layout (B, 2, 32).
+// Returns 0 on success, or 1 + index of the first offending frame:
+//   status_out[b]: 0 ok, 1 bad channel tag, 2 bad prediction type.
+int64_t alac_parse_headers(
+    const uint8_t* blob, int64_t blob_len,
+    const int64_t* offsets, const int64_t* sizes, int64_t batch,
+    const int32_t* sample_size, const int32_t* kmod,
+    const int32_t* init_history, const int32_t* hist_mult4,
+    const int32_t* max_samples,
+    // outputs
+    uint8_t* is_stereo, uint8_t* is_compressed, int32_t* n_samples,
+    int32_t* ub, int32_t* rss, int32_t* ishift, int32_t* ilw,
+    int32_t* payload_pos, int32_t* entropy_pos,
+    int32_t* order /*(B,2)*/, int32_t* quant /*(B,2)*/,
+    int32_t* rice_mult /*(B,2)*/, int32_t* rc /*(B,2,32)*/,
+    int32_t* kmod_out, int32_t* ihist_out, int32_t* kmask_out,
+    int32_t* status_out) {
+  int64_t first_bad = -1;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < batch; ++b) {
+    status_out[b] = 0;
+    const int64_t off = offsets[b];
+    int64_t sz = sizes[b];
+    if (off < 0 || off + sz > blob_len) sz = 0;
+    BitReader r(blob + off, sz);
+    const uint32_t tag = r.readbits(3);
+    if (tag > 1) {
+      status_out[b] = 1;
+      continue;
+    }
+    const bool stereo = tag == 1;
+    r.readbits(4);
+    r.readbits(12);
+    const uint32_t hassize = r.readbits(1);
+    const uint32_t u = r.readbits(2);
+    const uint32_t notcomp = r.readbits(1);
+    const int32_t n = hassize ? int32_t(r.readbits(32)) : max_samples[b];
+    is_stereo[b] = stereo;
+    is_compressed[b] = notcomp == 0;
+    n_samples[b] = n;
+    kmod_out[b] = kmod[b];
+    ihist_out[b] = init_history[b];
+    kmask_out[b] = (1 << kmod[b]) - 1;
+    int32_t* rcb = rc + b * 2 * (kMaxOrder + 1);
+    for (int i = 0; i < 2 * (kMaxOrder + 1); ++i) rcb[i] = 0;
+    order[b * 2] = order[b * 2 + 1] = 0;
+    quant[b * 2] = quant[b * 2 + 1] = 0;
+    rice_mult[b * 2] = rice_mult[b * 2 + 1] = 0;
+    ishift[b] = ilw[b] = 0;
+    if (notcomp == 0) {
+      ub[b] = int32_t(u);
+      rss[b] = sample_size[b] - 8 * int32_t(u) + (stereo ? 1 : 0);
+      if (stereo) {
+        ishift[b] = int32_t(r.readbits(8));
+        ilw[b] = int32_t(r.readbits(8));
+      } else {
+        r.readbits(8);  // 16 unexplained bits (AlacFile.cs:457-459)
+        r.readbits(8);
+      }
+      const int nch = stereo ? 2 : 1;
+      bool bad = false;
+      for (int c = 0; c < nch && !bad; ++c) {
+        const uint32_t ptype = r.readbits(4);
+        if (ptype != 0) {
+          status_out[b] = 2;
+          bad = true;
+          break;
+        }
+        quant[b * 2 + c] = int32_t(r.readbits(4));
+        const uint32_t rmod = r.readbits(3);
+        const int32_t o = int32_t(r.readbits(5));
+        order[b * 2 + c] = o;
+        rice_mult[b * 2 + c] = int32_t(rmod) * hist_mult4[b];
+        int32_t coefs[kMaxOrder];
+        for (int j = 0; j < o; ++j) {
+          int32_t v = int32_t(r.readbits(16));
+          if (v > 32767) v -= 65536;
+          coefs[j] = v;
+        }
+        if (o > 0 && o < kMaxOrder) {
+          // base-aligned reversed layout rc[t] = coef[order - t]
+          for (int t = 1; t <= o; ++t) {
+            rcb[c * (kMaxOrder + 1) + t] = coefs[o - t];
+          }
+        }
+      }
+      if (bad) continue;
+      payload_pos[b] = int32_t(r.bitpos());
+      entropy_pos[b] =
+          int32_t(r.bitpos()) + n * 8 * int32_t(u) * nch;
+    } else {
+      ub[b] = 0;
+      rss[b] = sample_size[b] + (stereo ? 1 : 0);
+      payload_pos[b] = int32_t(r.bitpos());
+      entropy_pos[b] = int32_t(r.bitpos());
+    }
+  }
+  for (int64_t b = 0; b < batch; ++b) {
+    if (status_out[b] != 0) {
+      first_bad = b;
+      break;
+    }
+  }
+  return first_bad < 0 ? 0 : 1 + first_bad;
+}
+
+int32_t alac_native_abi_version() { return 1; }
+
+}  // extern "C"

@@ -16,7 +16,7 @@ from typing import BinaryIO, Iterable
 import numpy as np
 
 from .container import demux
-from .parallel.pipeline import decode_payloads
+from .parallel.pipeline import decode_blob
 
 
 @dataclasses.dataclass
@@ -39,26 +39,32 @@ class DecodedAudio:
 
 
 def _collect(stream: BinaryIO):
+    """Parse the container and read the raw bytes once (zero-copy blob)."""
     info = demux.parse(stream)
-    offsets = info.tables.frame_file_offsets()
-    sizes = info.tables.frame_byte_sizes
-    payloads = []
-    for o, s in zip(offsets, sizes):
-        stream.seek(int(o))
-        payloads.append(stream.read(int(s)))
-    return info, payloads
+    stream.seek(0)
+    blob = np.frombuffer(stream.read(), np.uint8)
+    return info, blob
 
 
 def decode_streams(streams: Iterable[BinaryIO]) -> list[DecodedAudio]:
     """Decode many open .m4a streams in pooled device batches."""
-    infos, all_payloads, all_params, spans = [], [], [], []
+    infos, spans = [], []
+    blobs, all_offsets, all_sizes, all_params = [], [], [], []
+    blob_base = 0
+    total_frames = 0
     for stream in streams:
-        info, payloads = _collect(stream)
+        info, blob = _collect(stream)
         infos.append(info)
-        spans.append((len(all_payloads), len(all_payloads) + len(payloads)))
-        all_payloads.extend(payloads)
-        all_params.extend([info.params] * len(payloads))
-    if not all_payloads:
+        offsets = info.tables.frame_file_offsets()
+        sizes = info.tables.frame_byte_sizes
+        spans.append((total_frames, total_frames + len(offsets)))
+        blobs.append(blob)
+        all_offsets.append(offsets + blob_base)
+        all_sizes.append(sizes)
+        all_params.extend([info.params] * len(offsets))
+        blob_base += blob.size
+        total_frames += len(offsets)
+    if not total_frames:
         return [
             DecodedAudio(
                 pcm=np.zeros((0, info.num_channels_or_default()), np.int32),
@@ -69,12 +75,23 @@ def decode_streams(streams: Iterable[BinaryIO]) -> list[DecodedAudio]:
             for info in infos
         ]
     max_s = max(i.params.max_samples_per_frame for i in infos)
-    out, n = decode_payloads(all_payloads, all_params, max_s)
+    out, n = decode_blob(
+        np.concatenate(blobs),
+        np.concatenate(all_offsets),
+        np.concatenate(all_sizes),
+        all_params,
+        max_s,
+    )
+    # Vectorized ragged assembly: one boolean compress instead of a
+    # per-frame concatenate (which costs ~0.5 ms/frame in Python).
+    S = out.shape[1]
+    valid = np.arange(S)[None, :] < n[:, None]  # (F, S)
     results = []
     for info, (lo, hi) in zip(infos, spans):
         nch = info.num_channels_or_default()
         if hi > lo:
-            pcm = np.concatenate([out[f, : n[f], :nch] for f in range(lo, hi)])
+            block = out[lo:hi, :, :nch]
+            pcm = block.reshape(-1, nch)[valid[lo:hi].reshape(-1)]
         else:
             pcm = np.zeros((0, nch), np.int32)
         results.append(

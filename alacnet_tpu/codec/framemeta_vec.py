@@ -179,3 +179,92 @@ def parse_frame_headers_vec(
         init_history=init_history,
         kmask=((1 << kmod.astype(np.int64)) - 1).astype(np.int32),
     )
+
+
+def _cookie_arrays(B: int, params_per_frame):
+    if isinstance(params_per_frame, CodecParams):
+        p = params_per_frame
+        return (
+            np.full(B, p.sample_size, np.int32),
+            np.full(B, p.rice_kmodifier, np.int32),
+            np.full(B, p.rice_initial_history, np.int32),
+            np.full(B, p.rice_history_mult // 4, np.int32),
+            np.full(B, p.max_samples_per_frame, np.int32),
+        )
+    pl = params_per_frame
+    return (
+        np.array([p.sample_size for p in pl], np.int32),
+        np.array([p.rice_kmodifier for p in pl], np.int32),
+        np.array([p.rice_initial_history for p in pl], np.int32),
+        np.array([p.rice_history_mult // 4 for p in pl], np.int32),
+        np.array([p.max_samples_per_frame for p in pl], np.int32),
+    )
+
+
+def parse_frame_headers_blob(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    sizes: np.ndarray,
+    params_per_frame: list[CodecParams] | CodecParams,
+    max_bytes: int | None = None,
+) -> FrameBatch:
+    """Blob-based front door: native C++ pack+parse when available.
+
+    ``blob`` is the raw file (or mdat) bytes as a uint8 array; frames are
+    addressed by absolute (offset, size) pairs — no per-frame Python
+    slicing.  Falls back to the NumPy parser when the native library is
+    unavailable (alacnet_tpu/native.py).
+    """
+    from .. import native
+
+    B = len(offsets)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    ss, km, ih, hm4, ms = _cookie_arrays(B, params_per_frame)
+    bad = ~np.isin(ss, (16, 24))
+    if bad.any():
+        raise UnsupportedFormatError(
+            f"FIXME: unimplemented sample size {ss[bad.argmax()]}"
+        )
+    parsed = native.parse_headers_native(blob, offsets, sizes, ss, km, ih, hm4, ms)
+    if parsed is None:
+        payloads = [
+            blob[o : o + s].tobytes() for o, s in zip(offsets, sizes)
+        ]
+        return parse_frame_headers_vec(payloads, params_per_frame, max_bytes)
+    if parsed["first_bad"] >= 0:
+        b = parsed["first_bad"]
+        code = int(parsed["status"][b])
+        if code == 1:
+            raise UnsupportedFormatError(
+                "unsupported frame channel tag (AlacFile.cs:435-437,577)"
+            )
+        raise UnsupportedFormatError(
+            "FIXME: unhandled prediction type (AlacFile.cs:650,660)"
+        )
+    if max_bytes is None:
+        max_bytes = int(sizes.max()) if B else 0
+    from ..ops.bitreader import WINDOW_PAD
+
+    nwords = -(-(-(-max_bytes // 4) + WINDOW_PAD) // 8) * 8
+    words = native.pack_frames_native(blob, offsets, sizes, nwords)
+    return FrameBatch(
+        words=words,
+        is_stereo=parsed["is_stereo"].astype(bool),
+        is_compressed=parsed["is_compressed"].astype(bool),
+        n_samples=parsed["n_samples"],
+        sample_size=ss,
+        ub=parsed["ub"],
+        rss=parsed["rss"],
+        interlacing_shift=parsed["interlacing_shift"],
+        interlacing_leftweight=parsed["interlacing_leftweight"],
+        payload_pos=parsed["payload_pos"],
+        entropy_pos=parsed["entropy_pos"],
+        order=parsed["order"],
+        quant=parsed["quant"],
+        rice_mult=parsed["rice_mult"],
+        rc=parsed["rc"],
+        kmod=parsed["kmod"],
+        init_history=parsed["init_history"],
+        kmask=parsed["kmask"],
+    )

@@ -1,0 +1,168 @@
+"""ctypes loader for the native host runtime (_native/host.cpp).
+
+Build-on-first-use: compiles the C++ translation unit with the system
+toolchain into a content-hashed cache directory (no install step, no
+pybind11 dependency).  Every entry point has a NumPy fallback, so the
+framework works — just slower on the host stage — without a compiler.
+
+Set ``ALAC_NO_NATIVE=1`` to force the NumPy fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).parent / "_native" / "host.cpp"
+_CACHE = pathlib.Path(
+    os.environ.get("ALAC_NATIVE_CACHE", os.path.expanduser("~/.cache/alacnet_tpu"))
+)
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> pathlib.Path | None:
+    src = _SRC.read_bytes()
+    tagged = hashlib.sha256(src).hexdigest()[:16]
+    out = _CACHE / f"libalachost-{tagged}.so"
+    if out.exists():
+        return out
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(f".{os.getpid()}.tmp.so")
+    for flags in (["-fopenmp"], []):  # openmp if available
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", *flags,
+            str(_SRC), "-o", str(tmp),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            tmp.replace(out)
+            return out
+        except (subprocess.SubprocessError, OSError, FileNotFoundError):
+            continue
+    return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded native library, or None (fallback mode)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("ALAC_NO_NATIVE"):
+            return None
+        try:
+            path = _build()
+            if path is None:
+                return None
+            lib = ctypes.CDLL(str(path))
+            lib.alac_native_abi_version.restype = ctypes.c_int32
+            if lib.alac_native_abi_version() != 1:
+                return None
+            lib.alac_pack_frames.argtypes = [
+                _U8P, ctypes.c_int64, _I64P, _I64P,
+                ctypes.c_int64, ctypes.c_int64, _U32P,
+            ]
+            lib.alac_pack_frames.restype = None
+            lib.alac_parse_headers.argtypes = (
+                [_U8P, ctypes.c_int64, _I64P, _I64P, ctypes.c_int64]
+                + [_I32P] * 5
+                + [_U8P, _U8P] + [_I32P] * 15
+            )
+            lib.alac_parse_headers.restype = ctypes.c_int64
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def pack_frames_native(
+    blob: np.ndarray, offsets: np.ndarray, sizes: np.ndarray, nwords: int
+) -> np.ndarray | None:
+    """Ragged frames -> (B, nwords) big-endian-packed uint32, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(offsets)
+    words = np.empty((B, nwords), dtype=np.uint32)
+    lib.alac_pack_frames(
+        np.ascontiguousarray(blob, np.uint8),
+        np.int64(blob.size),
+        np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(sizes, np.int64),
+        np.int64(B),
+        np.int64(nwords),
+        words,
+    )
+    return words
+
+
+def parse_headers_native(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    sizes: np.ndarray,
+    sample_size: np.ndarray,
+    kmod: np.ndarray,
+    init_history: np.ndarray,
+    hist_mult4: np.ndarray,
+    max_samples: np.ndarray,
+):
+    """Parse all headers in C++. Returns a dict of arrays + status, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(offsets)
+    i32 = lambda shape: np.zeros(shape, np.int32)  # noqa: E731
+    out = dict(
+        is_stereo=np.zeros(B, np.uint8),
+        is_compressed=np.zeros(B, np.uint8),
+        n_samples=i32(B), ub=i32(B), rss=i32(B),
+        interlacing_shift=i32(B), interlacing_leftweight=i32(B),
+        payload_pos=i32(B), entropy_pos=i32(B),
+        order=i32((B, 2)), quant=i32((B, 2)), rice_mult=i32((B, 2)),
+        rc=i32((B, 2, 32)),
+        kmod=i32(B), init_history=i32(B), kmask=i32(B),
+        status=i32(B),
+    )
+    rcflat = out["rc"].reshape(-1)
+    ret = lib.alac_parse_headers(
+        np.ascontiguousarray(blob, np.uint8),
+        np.int64(blob.size),
+        np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(sizes, np.int64),
+        np.int64(B),
+        np.ascontiguousarray(sample_size, np.int32),
+        np.ascontiguousarray(kmod, np.int32),
+        np.ascontiguousarray(init_history, np.int32),
+        np.ascontiguousarray(hist_mult4, np.int32),
+        np.ascontiguousarray(max_samples, np.int32),
+        out["is_stereo"], out["is_compressed"], out["n_samples"],
+        out["ub"], out["rss"],
+        out["interlacing_shift"], out["interlacing_leftweight"],
+        out["payload_pos"], out["entropy_pos"],
+        out["order"].reshape(-1), out["quant"].reshape(-1),
+        out["rice_mult"].reshape(-1), rcflat,
+        out["kmod"], out["init_history"], out["kmask"],
+        out["status"],
+    )
+    out["first_bad"] = int(ret) - 1 if ret else -1
+    return out

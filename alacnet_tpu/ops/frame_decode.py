@@ -125,7 +125,7 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "use_fused", "max_order")
+    jax.jit, static_argnames=("num_samples", "use_fused", "max_order", "emit16")
 )
 def decode_frames(
     words,
@@ -133,6 +133,7 @@ def decode_frames(
     num_samples: int,
     use_fused: bool = False,
     max_order: int = 31,
+    emit16: bool = False,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -140,6 +141,9 @@ def decode_frames(
     merged, sign-extended); channel 1 is zero for mono lanes (the
     reference's mono-in-stereo silence, AlacFile.cs:536-540) and samples
     at i >= n are zero.
+
+    ``emit16`` returns int16 samples (valid only when every lane is a
+    16-bit stream) — halves the device->host transfer.
 
     ``use_fused`` selects the Pallas fused Rice+LPC kernel
     (ops/pallas/rice_lpc.py; requires B % 1024 == 0, W % 8 == 0, TPU) —
@@ -230,4 +234,7 @@ def decode_frames(
     live = jnp.arange(S, dtype=I32)[None, :] < n[:, None]
     left = jnp.where(live, left, 0)
     right = jnp.where(live & m.is_stereo[:, None], right, 0)
-    return jnp.stack([left, right], axis=-1), n
+    out = jnp.stack([left, right], axis=-1)
+    if emit16:
+        out = out.astype(jnp.int16)
+    return out, n

@@ -21,7 +21,7 @@ from ..ops.frame_decode import FrameMetaArrays, decode_frames
 
 #: Lane-count buckets (powers of two up to the per-chip flight size from
 #: BASELINE.json: "4096 frames in flight per chip").
-BATCH_BUCKETS = (8, 64, 256, 1024, 4096)
+BATCH_BUCKETS = (8, 64, 256, 1024, 2048, 4096)
 #: Word-width rounding (uint32 words; 256 words = 1 KiB payload).
 WORD_BUCKET = 256
 
@@ -80,6 +80,7 @@ def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
     use_fused, max_order = _fused_plan(fb)
+    emit16 = bool((fb.sample_size == 16).all())
     meta = FrameMetaArrays.from_batch(fb)
     out, n = decode_frames(
         jnp.asarray(fb.words),
@@ -87,8 +88,39 @@ def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np
         max_samples,
         use_fused=use_fused,
         max_order=max_order,
+        emit16=emit16,
     )
     return np.asarray(out[:orig_b]), np.asarray(n[:orig_b])
+
+
+def decode_blob(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    sizes: np.ndarray,
+    params: list[CodecParams] | CodecParams,
+    max_samples: int,
+    batch_limit: int = BATCH_BUCKETS[-1],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode frames addressed as (offset, size) into a raw byte blob.
+
+    Preferred production path: frame packing and header parsing run in
+    the native host runtime (alacnet_tpu/native.py) when available, with
+    no per-frame Python objects.
+    """
+    from ..codec.framemeta_vec import parse_frame_headers_blob
+
+    outs, ns = [], []
+    F = len(offsets)
+    for lo in range(0, F, batch_limit):
+        hi = min(lo + batch_limit, F)
+        p = params if isinstance(params, CodecParams) else params[lo:hi]
+        fb = parse_frame_headers_blob(blob, offsets[lo:hi], sizes[lo:hi], p)
+        out, n = decode_frame_batch(fb, max_samples)
+        outs.append(out)
+        ns.append(n)
+    if not outs:
+        return np.zeros((0, max_samples, 2), np.int32), np.zeros(0, np.int32)
+    return np.concatenate(outs), np.concatenate(ns)
 
 
 def decode_payloads(
