@@ -10,7 +10,15 @@ encoder, a batched multi-frame device decode pipeline, multi-chip sharding
 and a test pyramid.
 """
 
-from .batch import DecodedAudio, decode_file, decode_files, decode_streams
+from .batch import (
+    DecodeCursor,
+    DecodedAudio,
+    decode_file,
+    decode_files,
+    decode_resumable,
+    decode_streams,
+)
+from .config import DecodeConfig
 from .codec.cookie import CodecParams, default_cookie
 from .codec.encoder import AlacEncoder, EncoderConfig, encode_m4a
 from .container.demux import StreamInfo, parse
@@ -33,7 +41,10 @@ __all__ = [
     "AlacContext",
     "AlacEncoder",
     "AlacError",
+    "DecodeConfig",
+    "DecodeCursor",
     "DecodedAudio",
+    "decode_resumable",
     "WaveFormat",
     "decode_file",
     "decode_files",

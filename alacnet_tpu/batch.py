@@ -23,11 +23,16 @@ from .parallel.pipeline import decode_blob
 class DecodedAudio:
     """One file's decode result."""
 
-    pcm: np.ndarray  # (N, channels) int32
+    pcm: np.ndarray  # (N, channels) int16/int32
     sample_rate: int
     bits_per_sample: int
     channels: int
     path: str | None = None
+    #: Frame indices that failed to parse (lenient mode only; their
+    #: samples are omitted). Empty in strict mode.
+    bad_frames: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
 
     @property
     def num_samples(self) -> int:
@@ -46,8 +51,14 @@ def _collect(stream: BinaryIO):
     return info, blob
 
 
-def decode_streams(streams: Iterable[BinaryIO]) -> list[DecodedAudio]:
-    """Decode many open .m4a streams in pooled device batches."""
+def decode_streams(
+    streams: Iterable[BinaryIO], strict: bool | None = None
+) -> list[DecodedAudio]:
+    """Decode many open .m4a streams in pooled device batches.
+
+    ``strict=False`` skips (and reports) undecodable frames instead of
+    raising; the default comes from config.DEFAULT.
+    """
     infos, spans = [], []
     blobs, all_offsets, all_sizes, all_params = [], [], [], []
     blob_base = 0
@@ -75,12 +86,13 @@ def decode_streams(streams: Iterable[BinaryIO]) -> list[DecodedAudio]:
             for info in infos
         ]
     max_s = max(i.params.max_samples_per_frame for i in infos)
-    out, n = decode_blob(
+    out, n, status = decode_blob(
         np.concatenate(blobs),
         np.concatenate(all_offsets),
         np.concatenate(all_sizes),
         all_params,
         max_s,
+        strict=strict,
     )
     # Vectorized ragged assembly: one boolean compress instead of a
     # per-frame concatenate (which costs ~0.5 ms/frame in Python).
@@ -92,25 +104,30 @@ def decode_streams(streams: Iterable[BinaryIO]) -> list[DecodedAudio]:
         if hi > lo:
             block = out[lo:hi, :, :nch]
             pcm = block.reshape(-1, nch)[valid[lo:hi].reshape(-1)]
+            bad = np.flatnonzero(status[lo:hi]).astype(np.int64)
         else:
             pcm = np.zeros((0, nch), np.int32)
+            bad = np.zeros(0, np.int64)
         results.append(
             DecodedAudio(
                 pcm=pcm,
                 sample_rate=info.sample_rate_or_default(),
                 bits_per_sample=info.bits_per_sample_or_default(),
                 channels=nch,
+                bad_frames=bad,
             )
         )
     return results
 
 
-def decode_files(paths: Iterable[str | os.PathLike]) -> list[DecodedAudio]:
+def decode_files(
+    paths: Iterable[str | os.PathLike], strict: bool | None = None
+) -> list[DecodedAudio]:
     """Decode many .m4a files in pooled device batches."""
     paths = list(paths)
     streams = [open(p, "rb") for p in paths]
     try:
-        results = decode_streams(streams)
+        results = decode_streams(streams, strict=strict)
     finally:
         for s in streams:
             s.close()
@@ -119,6 +136,65 @@ def decode_files(paths: Iterable[str | os.PathLike]) -> list[DecodedAudio]:
     return results
 
 
-def decode_file(path: str | os.PathLike) -> DecodedAudio:
+def decode_file(path: str | os.PathLike, strict: bool | None = None) -> DecodedAudio:
     """Decode a single .m4a file."""
-    return decode_files([path])[0]
+    return decode_files([path], strict=strict)[0]
+
+
+@dataclasses.dataclass
+class DecodeCursor:
+    """Resumable batch-job position: (file, next frame index).
+
+    The codec analog of checkpoint/resume (SURVEY.md §5): ALAC frames
+    carry no inter-frame state, so a job checkpoints as a frame cursor
+    and resumes with a table-driven seek — the same property behind
+    AlacContext.SetPosition (AlacContext.cs:262-295).
+    """
+
+    path: str
+    next_frame: int = 0
+
+    @property
+    def done(self) -> bool:
+        return self.next_frame < 0
+
+
+def decode_resumable(
+    cursor: DecodeCursor, max_frames: int = 4096, strict: bool | None = None
+) -> tuple[DecodedAudio, DecodeCursor]:
+    """Decode up to ``max_frames`` frames from the cursor position.
+
+    Returns the decoded chunk and the advanced cursor (``done`` once the
+    file is exhausted).  Work can stop and resume across processes with
+    only the cursor persisted.
+    """
+    with open(cursor.path, "rb") as f:
+        info = demux.parse(f)
+        f.seek(0)
+        blob = np.frombuffer(f.read(), np.uint8)
+    offsets = info.tables.frame_file_offsets()
+    sizes = info.tables.frame_byte_sizes
+    lo = cursor.next_frame
+    hi = min(lo + max_frames, len(offsets))
+    out, n, status = decode_blob(
+        blob,
+        offsets[lo:hi],
+        sizes[lo:hi],
+        info.params,
+        info.params.max_samples_per_frame,
+        strict=strict,
+    )
+    nch = info.num_channels_or_default()
+    S = out.shape[1] if out.size else info.params.max_samples_per_frame
+    valid = np.arange(S)[None, :] < n[:, None]
+    pcm = out[:, :, :nch].reshape(-1, nch)[valid.reshape(-1)] if hi > lo else np.zeros((0, nch), np.int32)
+    result = DecodedAudio(
+        pcm=pcm,
+        sample_rate=info.sample_rate_or_default(),
+        bits_per_sample=info.bits_per_sample_or_default(),
+        channels=nch,
+        path=cursor.path,
+        bad_frames=np.flatnonzero(status).astype(np.int64) + lo,
+    )
+    nxt = DecodeCursor(cursor.path, hi if hi < len(offsets) else -1)
+    return result, nxt

@@ -45,6 +45,10 @@ class FrameBatch:
     kmod: np.ndarray  # (B,) int32 — cookie rice_kmodifier
     init_history: np.ndarray  # (B,) int32 — cookie rice_initialhistory
     kmask: np.ndarray  # (B,) int32 — (1<<kmod)-1
+    #: Per-frame parse status: 0 ok, 1 bad channel tag, 2 bad prediction
+    #: type (SURVEY.md §5 failure detection: a malformed frame poisons
+    #: only its lane in lenient mode).
+    status: np.ndarray = None
 
     @property
     def batch(self) -> int:
@@ -179,4 +183,5 @@ def parse_frame_headers(
         kmod=kmod,
         init_history=init_history,
         kmask=kmask,
+        status=np.zeros(B, dtype=np.int32),
     )

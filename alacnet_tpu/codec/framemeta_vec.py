@@ -33,7 +33,7 @@ _PREFIX_WORDS = _PREFIX_BYTES // 4 + 2
 
 def _bits(words: np.ndarray, pos: np.ndarray, n) -> np.ndarray:
     """Vectorized big-endian field extraction (words (B, Wp) uint32)."""
-    w = (pos >> 5).astype(np.int64)
+    w = np.clip((pos >> 5).astype(np.int64), 0, words.shape[1] - 2)
     sh = (pos & 31).astype(np.uint32)
     hi = np.take_along_axis(words, w[:, None], axis=1)[:, 0]
     lo = np.take_along_axis(words, w[:, None] + 1, axis=1)[:, 0]
@@ -46,8 +46,14 @@ def parse_frame_headers_vec(
     payloads: list[bytes],
     params_per_frame: list[CodecParams] | CodecParams,
     max_bytes: int | None = None,
+    strict: bool = True,
 ) -> FrameBatch:
-    """Vectorized twin of parse_frame_headers (same contract)."""
+    """Vectorized twin of parse_frame_headers (same contract).
+
+    ``strict=False`` records undecodable frames in ``FrameBatch.status``
+    (1: channel tag, 2: prediction type) and freezes their lanes
+    (n_samples=0) instead of raising — SURVEY.md §5 failure detection.
+    """
     B = len(payloads)
     if isinstance(params_per_frame, CodecParams):
         plist = None
@@ -86,11 +92,15 @@ def parse_frame_headers_vec(
 
     pos = np.zeros(B, np.int64)
     tag = _bits(pw, pos, 3)
+    status = np.zeros(B, np.int32)
     if (tag > 1).any():
-        raise UnsupportedFormatError(
-            f"unsupported frame channel tag {int(tag[(tag > 1).argmax()])} "
-            "(AlacFile.cs:435-437,577)"
-        )
+        if strict:
+            raise UnsupportedFormatError(
+                f"unsupported frame channel tag {int(tag[(tag > 1).argmax()])} "
+                "(AlacFile.cs:435-437,577)"
+            )
+        status[tag > 1] = 1
+        tag = np.where(tag > 1, 0, tag)
     is_stereo = tag == 1
     hassize = _bits(pw, pos + 19, 1)
     ub = _bits(pw, pos + 20, 2)
@@ -142,9 +152,11 @@ def parse_frame_headers_vec(
             )
         cpos = cpos + np.where(in_ch, 16 + 16 * o, 0)
     if ptype_bad.any():
-        raise UnsupportedFormatError(
-            "FIXME: unhandled prediction type (AlacFile.cs:650,660)"
-        )
+        if strict:
+            raise UnsupportedFormatError(
+                "FIXME: unhandled prediction type (AlacFile.cs:650,660)"
+            )
+        status[ptype_bad] = 2
 
     payload_pos = np.where(is_compressed, cpos, pos)
     rss = np.where(
@@ -158,6 +170,10 @@ def parse_frame_headers_vec(
         is_compressed, n_samples * (8 * ub_eff) * nch, 0
     )
 
+    bad = status != 0
+    if bad.any():
+        n_samples = np.where(bad, 0, n_samples)
+        is_compressed = is_compressed & ~bad
     words = pack_frames_to_words(payloads, max_bytes)
     return FrameBatch(
         words=words,
@@ -178,6 +194,7 @@ def parse_frame_headers_vec(
         kmod=kmod,
         init_history=init_history,
         kmask=((1 << kmod.astype(np.int64)) - 1).astype(np.int32),
+        status=status,
     )
 
 
@@ -207,6 +224,7 @@ def parse_frame_headers_blob(
     sizes: np.ndarray,
     params_per_frame: list[CodecParams] | CodecParams,
     max_bytes: int | None = None,
+    strict: bool = True,
 ) -> FrameBatch:
     """Blob-based front door: native C++ pack+parse when available.
 
@@ -231,17 +249,21 @@ def parse_frame_headers_blob(
         payloads = [
             blob[o : o + s].tobytes() for o, s in zip(offsets, sizes)
         ]
-        return parse_frame_headers_vec(payloads, params_per_frame, max_bytes)
+        return parse_frame_headers_vec(payloads, params_per_frame, max_bytes, strict)
     if parsed["first_bad"] >= 0:
-        b = parsed["first_bad"]
-        code = int(parsed["status"][b])
-        if code == 1:
+        if strict:
+            b = parsed["first_bad"]
+            code = int(parsed["status"][b])
+            if code == 1:
+                raise UnsupportedFormatError(
+                    "unsupported frame channel tag (AlacFile.cs:435-437,577)"
+                )
             raise UnsupportedFormatError(
-                "unsupported frame channel tag (AlacFile.cs:435-437,577)"
+                "FIXME: unhandled prediction type (AlacFile.cs:650,660)"
             )
-        raise UnsupportedFormatError(
-            "FIXME: unhandled prediction type (AlacFile.cs:650,660)"
-        )
+        bad = parsed["status"] != 0
+        parsed["n_samples"] = np.where(bad, 0, parsed["n_samples"])
+        parsed["is_compressed"] = np.where(bad, 0, parsed["is_compressed"])
     if max_bytes is None:
         max_bytes = int(sizes.max()) if B else 0
     from ..ops.bitreader import WINDOW_PAD
@@ -267,4 +289,5 @@ def parse_frame_headers_blob(
         kmod=parsed["kmod"],
         init_history=parsed["init_history"],
         kmask=parsed["kmask"],
+        status=parsed["status"],
     )

@@ -99,28 +99,50 @@ def decode_blob(
     sizes: np.ndarray,
     params: list[CodecParams] | CodecParams,
     max_samples: int,
-    batch_limit: int = BATCH_BUCKETS[-1],
-) -> tuple[np.ndarray, np.ndarray]:
+    batch_limit: int | None = None,
+    strict: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode frames addressed as (offset, size) into a raw byte blob.
 
     Preferred production path: frame packing and header parsing run in
     the native host runtime (alacnet_tpu/native.py) when available, with
-    no per-frame Python objects.
+    no per-frame Python objects.  Returns (samples, n, status) where
+    ``status`` flags per-frame parse failures in lenient mode.
     """
     from ..codec.framemeta_vec import parse_frame_headers_blob
+    from ..config import DEFAULT
+    from ..utils.observability import GLOBAL_STATS, trace_span
 
-    outs, ns = [], []
+    if batch_limit is None:
+        batch_limit = DEFAULT.batch_limit
+    if strict is None:
+        strict = DEFAULT.strict
+    outs, ns, sts = [], [], []
     F = len(offsets)
     for lo in range(0, F, batch_limit):
         hi = min(lo + batch_limit, F)
         p = params if isinstance(params, CodecParams) else params[lo:hi]
-        fb = parse_frame_headers_blob(blob, offsets[lo:hi], sizes[lo:hi], p)
-        out, n = decode_frame_batch(fb, max_samples)
+        with trace_span("alac.host.parse", "host_seconds"):
+            fb = parse_frame_headers_blob(
+                blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict
+            )
+        with trace_span("alac.device.decode", "device_seconds"):
+            out, n = decode_frame_batch(fb, max_samples)
+        GLOBAL_STATS.record(
+            frames=hi - lo,
+            samples=int(n.sum()),
+            coded_bytes=int(sizes[lo:hi].sum()),
+        )
         outs.append(out)
         ns.append(n)
+        sts.append(fb.status[: hi - lo])
     if not outs:
-        return np.zeros((0, max_samples, 2), np.int32), np.zeros(0, np.int32)
-    return np.concatenate(outs), np.concatenate(ns)
+        return (
+            np.zeros((0, max_samples, 2), np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+    return np.concatenate(outs), np.concatenate(ns), np.concatenate(sts)
 
 
 def decode_payloads(

@@ -1,0 +1,97 @@
+"""Auxiliary subsystems (SURVEY.md §5): failure detection, resume,
+config, observability."""
+
+import io
+
+import numpy as np
+import pytest
+
+import alacnet_tpu
+from alacnet_tpu.batch import DecodeCursor, decode_resumable, decode_streams
+from alacnet_tpu.config import DecodeConfig
+from alacnet_tpu.container import demux
+from alacnet_tpu.errors import UnsupportedFormatError
+from alacnet_tpu.utils.observability import GLOBAL_STATS, trace_span
+
+from .corpus import encode_to_bytes, tone
+
+
+def _corrupt_frame_header(data: bytes, frame: int) -> bytes:
+    """Set an unsupported prediction type in one frame's header."""
+    info = demux.parse(io.BytesIO(data))
+    off = int(info.tables.frame_file_offsets()[frame])
+    blob = bytearray(data)
+    # Full frame (hassize=0): ptype A at bits 39-42 (test_device_parity).
+    blob[off + 4] |= 0b0000_0001
+    blob[off + 5] |= 0b1110_0000
+    return bytes(blob)
+
+
+class TestFailureDetection:
+    def test_strict_mode_raises(self):
+        pcm = tone(4096 * 3, 2, 16)
+        data = _corrupt_frame_header(encode_to_bytes(pcm, 44100, 16), 1)
+        with pytest.raises(UnsupportedFormatError):
+            decode_streams([io.BytesIO(data)], strict=True)
+
+    def test_lenient_mode_poisons_only_bad_lane(self):
+        """A malformed frame drops out; every other frame stays bit-exact
+        (SURVEY.md §5: per-frame validity mask)."""
+        pcm = tone(4096 * 3, 2, 16)
+        data = _corrupt_frame_header(encode_to_bytes(pcm, 44100, 16), 1)
+        (res,) = decode_streams([io.BytesIO(data)], strict=False)
+        np.testing.assert_array_equal(res.bad_frames, [1])
+        good = np.concatenate([pcm[:4096], pcm[8192:]])
+        np.testing.assert_array_equal(res.pcm, good)
+
+    def test_truncated_mdat_does_not_crash(self):
+        """Truncated payloads decode to bounded garbage, no exception."""
+        pcm = tone(4096 * 2, 2, 16)
+        data = encode_to_bytes(pcm, 44100, 16)
+        info = demux.parse(io.BytesIO(data))
+        cut = int(info.tables.frame_file_offsets()[-1]) + 10
+        (res,) = decode_streams([io.BytesIO(data[:cut])], strict=False)
+        # first frame still bit-exact
+        np.testing.assert_array_equal(res.pcm[:4096], pcm[:4096])
+
+
+class TestResume:
+    def test_cursor_roundtrip(self, tmp_path):
+        pcm = tone(4096 * 3 + 123, 2, 16)
+        path = tmp_path / "r.m4a"
+        path.write_bytes(encode_to_bytes(pcm, 44100, 16))
+        cursor = DecodeCursor(str(path))
+        chunks = []
+        while not cursor.done:
+            part, cursor = decode_resumable(cursor, max_frames=2)
+            chunks.append(part.pcm)
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(got, pcm)
+
+
+class TestConfig:
+    def test_defaults_and_validation(self):
+        cfg = DecodeConfig()
+        assert cfg.validate() is cfg
+        with pytest.raises(ValueError):
+            DecodeConfig(kernel="gpu").validate()
+
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setenv("ALAC_BATCH_LIMIT", "128")
+        assert DecodeConfig().batch_limit == 128
+
+
+class TestObservability:
+    def test_stats_accumulate_through_decode(self):
+        GLOBAL_STATS.reset()
+        pcm = tone(4096, 2, 16)
+        data = encode_to_bytes(pcm, 44100, 16)
+        alacnet_tpu.decode_streams([io.BytesIO(data)])
+        snap = GLOBAL_STATS.snapshot()
+        assert snap["frames"] == 1
+        assert snap["samples"] == 4096
+        assert snap["host_seconds"] > 0
+
+    def test_trace_span(self):
+        with trace_span("alac.test"):
+            pass
