@@ -119,7 +119,7 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
 
 
 def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
-            wvmem, otile, D_ref, rc_ref, sem_w, sem_o, *, W8, S, max_order,
+            wvmem, otile, sem_w, sem_o, *, W8, S, max_order,
             out_tile):
     nb = pl.program_id(0)
     # Stage this block's word table into VMEM (single rectangular DMA).
@@ -137,9 +137,8 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     quant = params_ref[0, P_QUANT]
     qshift = (quant - 1) & 31
 
-    for t in range(MAX_ORDER + 1):
-        rc_ref[t] = rc_in_ref[0, t]
-        D_ref[t] = jnp.zeros((SUB, LN), I32)
+    rc0 = tuple(rc_in_ref[0, t] for t in range(MAX_ORDER + 1))
+    D0 = tuple(jnp.zeros((SUB, LN), I32) for _ in range(MAX_ORDER + 1))
 
     is_pass = order == 0
     is_int31 = order == MAX_ORDER
@@ -179,7 +178,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     R = fetch_words(wp0, live0, 4)
 
     def step(i, carry):
-        bitpos, wp, R0, R1, R2, R3, hist, signmod, zrun, prev = carry
+        bitpos, wp, R0, R1, R2, R3, hist, signmod, zrun, prev, D, rc = carry
         R = (R0, R1, R2, R3)
         active = i < n
         in_zero = zrun > 0
@@ -211,10 +210,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         out_int = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(prev + err, (32 - rss) & 31), (32 - rss) & 31
         )
-        base = D_ref[0]
+        base = D[0]
         fir = jnp.zeros((SUB, LN), I32)
         for t in range(1, tmax + 1):
-            fir = fir + (D_ref[t] - base) * rc_ref[t]
+            fir = fir + (D[t] - base) * rc[t]
         outval = _sra(jax.lax.shift_left(jnp.ones((SUB, LN), I32), qshift) + fir, quant)
         out_fir = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(outval + base + err, (32 - rss) & 31), (32 - rss) & 31
@@ -230,23 +229,28 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         pos_b = do_adapt & (err > 0)
         neg_b = do_adapt & (err < 0)
         ev = err
+        rc = list(rc)
         for t in range(tmax):
             act_p = pos_b & (t < order) & (ev > 0)
             act_n = neg_b & (t < order) & (ev < 0)
             act = act_p | act_n
-            val = base - D_ref[t + 1]
+            val = base - D[t + 1]
             sgn = (val > 0).astype(I32) - (val < 0).astype(I32)
             se = jnp.where(act_p, sgn, jnp.where(act_n, -sgn, 0))
-            rc_ref[t + 1] = rc_ref[t + 1] - se
+            rc[t + 1] = rc[t + 1] - se
             ev = jnp.where(act, ev - _sra(val * se, quant) * (t + 1), ev)
+        rc = tuple(rc)
 
         # D window: shift-left-by-one + append at per-lane slot `order`
         # (base-aligned layout, ops/lpc.py); frozen lanes keep D intact.
-        for t in range(MAX_ORDER):
-            new_row = jnp.where(append_slot == t, out, D_ref[t + 1])
-            D_ref[t] = jnp.where(active, new_row, D_ref[t])
-        new_last = jnp.where(append_slot == MAX_ORDER, out, D_ref[MAX_ORDER])
-        D_ref[MAX_ORDER] = jnp.where(active, new_last, D_ref[MAX_ORDER])
+        # Only slots 0..tmax are ever read (FIR/adaptive walk stop at the
+        # block's max order), so the shift chain is bounded too.
+        Dn = []
+        for t in range(tmax + 1):
+            nxt = D[t + 1] if t + 1 <= tmax else D[t]
+            new_row = jnp.where(append_slot == t, out, nxt)
+            Dn.append(jnp.where(active, new_row, D[t]))
+        D = tuple(Dn)
 
         # ---- emit ----
         otile[(i % out_tile)] = jnp.where(active, out, jnp.zeros_like(out))
@@ -281,7 +285,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             do, jnp.where(zcond, bsize, 0), jnp.where(active & in_zero, zrun - 1, zrun)
         )
         prev_n = jnp.where(active, out, prev)
-        return (bitpos2, wp_new, R0n, R1n, R2n, R3n, hist_n, sign_n, zrun_n, prev_n)
+        return (
+            bitpos2, wp_new, R0n, R1n, R2n, R3n,
+            hist_n, sign_n, zrun_n, prev_n, D, rc,
+        )
 
     zeros = jnp.zeros((SUB, LN), I32)
     carry = (
@@ -292,6 +299,8 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         zeros,
         zeros,
         zeros,
+        tuple(D0[: tmax + 1]),
+        rc0,
     )
     carry = jax.lax.fori_loop(0, S, step, carry)
 
@@ -372,8 +381,6 @@ def fused_rice_lpc(
         scratch_shapes=[
             pltpu.VMEM((W8, SUB, SUB, LN), U32),
             pltpu.VMEM((out_tile, SUB, LN), I32),
-            pltpu.VMEM((MAX_ORDER + 1, SUB, LN), I32),  # D ring
-            pltpu.VMEM((MAX_ORDER + 1, SUB, LN), I32),  # rc working copy
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
