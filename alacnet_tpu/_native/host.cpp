@@ -203,3 +203,187 @@ int64_t alac_parse_headers(
 int32_t alac_native_abi_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder core (mirror of codec/encoder.py, which mirrors the decoder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t bitpos;
+  explicit BitWriter(uint8_t* o, int64_t p) : out(o), bitpos(p) {}
+  inline void write(uint32_t value, int bits) {
+    // MSB-first append into a pre-zeroed buffer.
+    if (bits <= 0) return;
+    value &= bits >= 32 ? 0xFFFFFFFFu : ((1u << bits) - 1u);
+    int64_t p = bitpos;
+    bitpos += bits;
+    while (bits > 0) {
+      const int64_t byte = p >> 3;
+      const int used = int(p & 7);
+      const int take = 8 - used < bits ? 8 - used : bits;
+      const uint32_t chunk = (value >> (bits - take)) & ((1u << take) - 1u);
+      out[byte] |= uint8_t(chunk << (8 - used - take));
+      p += take;
+      bits -= take;
+    }
+  }
+  inline void write_unary(int ones) {
+    for (int i = 0; i < ones; ++i) write(1, 1);
+    write(0, 1);
+  }
+};
+
+constexpr int kRiceThreshold = 8;
+
+inline int clz32i(int32_t x) {
+  const uint32_t u = uint32_t(x);
+  return u == 0 ? 32 : __builtin_clz(u);
+}
+
+inline int32_t trunc_div(int32_t a, int32_t b) { return a / b; }  // C++ == C#
+
+// Emit one entropy symbol so entropy_decode_value(rss, k, mask) = raw
+// (mirror of AlacFile.cs:193-212 / encoder.py::_emit_value).
+inline void emit_value(BitWriter& w, int32_t raw, int rss, int k, int32_t mask) {
+  if (k == 1) {
+    if (raw <= kRiceThreshold) {
+      w.write_unary(raw);
+    } else {
+      w.write((1u << (kRiceThreshold + 1)) - 1, kRiceThreshold + 1);
+      w.write(uint32_t(raw), rss);
+    }
+    return;
+  }
+  const int32_t m = int32_t(((1u << k) - 1u)) & mask;
+  int64_t q = m > 0 ? raw / m : kRiceThreshold + 1;
+  int64_t r = m > 0 ? raw % m : 0;
+  if (q > kRiceThreshold) {
+    w.write((1u << (kRiceThreshold + 1)) - 1, kRiceThreshold + 1);
+    w.write(uint32_t(raw), rss);
+    return;
+  }
+  w.write_unary(int(q));
+  if (r == 0) {
+    w.write(0, k - 1);
+  } else {
+    w.write(uint32_t(r + 1), k);
+  }
+}
+
+inline int64_t zigzag(int64_t x) { return x > 0 ? 2 * x : (x < 0 ? -2 * x - 1 : 0); }
+
+}  // namespace
+
+extern "C" {
+
+// Bulk MSB-first bit packing: fields (vals[i], widths[i]) appended at
+// bitpos into a pre-zeroed buffer. Returns the end bit position.
+int64_t alac_pack_bits(const uint32_t* vals, const uint8_t* widths,
+                       int64_t count, uint8_t* out, int64_t bitpos) {
+  BitWriter w(out, bitpos);
+  for (int64_t i = 0; i < count; ++i) w.write(vals[i], widths[i]);
+  return w.bitpos;
+}
+
+// Rice-encode one channel's residuals (mirror of EntropyRiceDecode's
+// state machine, AlacFile.cs:214-252). Returns end bit position.
+int64_t alac_rice_encode(const int32_t* vals, int64_t n, int32_t rss,
+                         int32_t init_hist, int32_t kmod, int32_t mult,
+                         int32_t kmask, uint8_t* out, int64_t bitpos) {
+  BitWriter w(out, bitpos);
+  int32_t history = init_hist;
+  int32_t sign_modifier = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const int64_t dv = zigzag(vals[i]);
+    const int64_t raw = dv - sign_modifier;
+    const int32_t ik = 31 - kmod - clz32i(int32_t((history >> 9) + 3));
+    const int k = ik < 0 ? ik + kmod : kmod;
+    emit_value(w, int32_t(raw), rss, k, -1);
+    sign_modifier = 0;
+    if (dv > 0xFFFF) {
+      history = 0xFFFF;
+    } else {
+      history = int32_t(history + int32_t(dv) * mult - ((history * mult) >> 9));
+    }
+    if (history < 128 && i + 1 < n) {
+      sign_modifier = 1;
+      const int kz = clz32i(history) + trunc_div(history + 16, 64) - 24;
+      int64_t run = 0;
+      while (i + 1 + run < n && vals[i + 1 + run] == 0) ++run;
+      if (run > 0xFFFF) run = 0xFFFF;
+      emit_value(w, int32_t(run), 16, kz, kmask);
+      i += run;
+      history = 0;
+    }
+    ++i;
+  }
+  return w.bitpos;
+}
+
+// Forward adaptive-FIR residuals (mirror of AlacFile.cs:256-336 run in
+// lockstep; encoder.py::_predictor_errors). Mutates coefs like the
+// decoder will.
+void alac_predictor_errors(const int32_t* sig, int64_t n, int32_t* coefs,
+                           int32_t order, int32_t quant, int32_t rss,
+                           int32_t* errs) {
+  if (n == 0) return;
+  const int64_t half = int64_t(1) << (rss - 1);
+  const int64_t wrap = int64_t(1) << rss;
+  auto center = [&](int64_t v) -> int32_t {
+    v &= wrap - 1;
+    return int32_t(v >= half ? v - wrap : v);
+  };
+  errs[0] = sig[0];
+  if (order == 0) {
+    for (int64_t i = 0; i < n; ++i) errs[i] = sig[i];
+    return;
+  }
+  if (order == 31) {
+    for (int64_t i = 1; i < n; ++i) errs[i] = center(int64_t(sig[i]) - sig[i - 1]);
+    return;
+  }
+  const int64_t warm = order < n - 1 ? order : (n > 0 ? n - 1 : 0);
+  for (int64_t i = 0; i < warm; ++i)
+    errs[i + 1] = center(int64_t(sig[i + 1]) - sig[i]);
+  int64_t base = 0;
+  for (int64_t i = order + 1; i < n; ++i) {
+    int32_t total = 0;
+    const int32_t b0 = sig[base];
+    for (int32_t j = 0; j < order; ++j) {
+      total = int32_t(total + int32_t((sig[base + order - j] - b0) * coefs[j]));
+    }
+    const int32_t pred = int32_t((int32_t(1u << (quant - 1)) + total)) >> quant;
+    const int32_t error_val = center(int64_t(sig[i]) - pred - b0);
+    errs[i] = error_val;
+    if (error_val > 0) {
+      int32_t pn = order - 1;
+      int32_t ev = error_val;
+      while (pn >= 0 && ev > 0) {
+        int32_t val = int32_t(b0 - sig[base + order - pn]);
+        const int32_t sgn = (val > 0) - (val < 0);
+        coefs[pn] = int32_t(coefs[pn] - sgn);
+        val = int32_t(val * sgn);
+        ev = int32_t(ev - (val >> quant) * (order - pn));
+        --pn;
+      }
+    } else if (error_val < 0) {
+      int32_t pn = order - 1;
+      int32_t ev = error_val;
+      while (pn >= 0 && ev < 0) {
+        int32_t val = int32_t(b0 - sig[base + order - pn]);
+        const int32_t sgn = -((val > 0) - (val < 0));
+        coefs[pn] = int32_t(coefs[pn] - sgn);
+        val = int32_t(val * sgn);
+        ev = int32_t(ev - (val >> quant) * (order - pn));
+        --pn;
+      }
+    }
+    ++base;
+  }
+}
+
+}  // extern "C"

@@ -198,6 +198,7 @@ _SEED_COEFS = {
     8: [1280, -640, 320, -160, 80, -40, 20, -10],
 }
 _DEFAULT_QUANT = 9
+MAX_COEFS = 31
 
 
 @dataclasses.dataclass
@@ -227,7 +228,129 @@ class AlacEncoder:
     # -- frame encoding ------------------------------------------------------
 
     def encode_frame(self, samples: np.ndarray) -> bytes:
-        """Encode one frame. ``samples`` is (n, channels) int32."""
+        """Encode one frame. ``samples`` is (n, channels) int32.
+
+        Uses the native C++ encoder core (predictor mirror + Rice emitter
+        + bulk bit packing, _native/host.cpp) when available; the Python
+        path below is the portable fallback and differential oracle
+        (tests/test_encoder_native.py).
+        """
+        from .. import native
+
+        if native.available():
+            return self._encode_frame_native(samples)
+        return self._encode_frame_py(samples)
+
+    def _header_fields(self, n: int, nch: int, ub: int, isnotcompressed: int):
+        """(values, widths) for the common frame header."""
+        p = self.params
+        hassize = 1 if n != p.max_samples_per_frame else 0
+        vals = [0 if nch == 1 else 1, 0, 0, hassize, ub, isnotcompressed]
+        widths = [3, 4, 12, 1, 2, 1]
+        if hassize:
+            vals.append(n)
+            widths.append(32)
+        return vals, widths
+
+    def _prediction_fields(self, coefs: list[int], order: int):
+        cfg = self.config
+        vals = [0, cfg.quant, cfg.rice_modifier, order]
+        widths = [4, 4, 3, 5]
+        count = 31 if order == 0x1F else order
+        for c in coefs[:count]:
+            vals.append(int(c) & 0xFFFF)
+            widths.append(16)
+        return vals, widths
+
+    def _encode_frame_native(self, samples: np.ndarray) -> bytes:
+        from .. import native
+
+        p, cfg = self.params, self.config
+        n, nch = samples.shape
+        if nch not in (1, 2):
+            raise ValueError(f"1 or 2 channels, got {nch}")
+        ub = 0 if cfg.force_uncompressed else cfg.uncompressed_bytes
+        isnotcompressed = 1 if cfg.force_uncompressed else 0
+        rss = p.sample_size - 8 * ub + (1 if nch == 2 else 0)
+        # Worst case: escapes everywhere + zero-run fields + extras + header.
+        cap_bits = n * nch * (9 + rss + 25 + 8 * ub + p.sample_size) + 4096
+        buf = np.zeros(cap_bits // 8 + 8, np.uint8)
+
+        vals, widths = self._header_fields(n, nch, ub, isnotcompressed)
+        if isnotcompressed:
+            # Raw PCM body as one bulk pack (AlacFile.cs:498-526,663-700).
+            ss = p.sample_size
+            flat = samples.astype(np.int64).reshape(-1)
+            u = (flat & ((1 << ss) - 1)).astype(np.uint32)
+            if ss <= 16:
+                body_v, body_w = u, np.full(u.size, ss, np.uint8)
+            else:
+                body_v = np.empty(u.size * 2, np.uint32)
+                body_v[0::2] = u >> (ss - 16)
+                body_v[1::2] = u & ((1 << (ss - 16)) - 1)
+                body_w = np.empty(u.size * 2, np.uint8)
+                body_w[0::2] = 16
+                body_w[1::2] = ss - 16
+            allv = np.concatenate([np.asarray(vals, np.uint32), body_v])
+            allw = np.concatenate([np.asarray(widths, np.uint8), body_w])
+            pos = native.pack_bits_native(allv, allw, buf, 0)
+            return buf[: -(-pos // 8)].tobytes()
+
+        # Compressed path: split channels, decorrelate, predict, pack.
+        if nch == 1:
+            hi, extra = self._split_extra(samples[:, 0].astype(np.int64), ub)
+            chans = [hi]
+            extras = [extra]
+            sh = lw = 0
+        else:
+            left = samples[:, 0].astype(np.int64)
+            right = samples[:, 1].astype(np.int64)
+            hi_l, extra_l = self._split_extra(left, ub)
+            hi_r, extra_r = self._split_extra(right, ub)
+            sh, lw = cfg.interlacing_shift, cfg.interlacing_leftweight
+            if lw != 0:
+                chan_b = hi_l - hi_r
+                chan_a = hi_r + ((chan_b * lw) >> sh)
+            else:
+                chan_a, chan_b = hi_l, hi_r
+            chans = [chan_a, chan_b]
+            extras = [extra_l, extra_r]
+        order = cfg.order
+        vals += [0, 0] if nch == 1 else [sh, lw]
+        widths += [8, 8]
+        coef_arrays = []
+        for _ in chans:
+            coefs = np.zeros(MAX_COEFS, np.int32)
+            seed = self._seed_coefs(order)
+            coefs[: len(seed)] = seed
+            coef_arrays.append(coefs)
+            pv, pw = self._prediction_fields(list(coefs), order)
+            vals += pv
+            widths += pw
+        if ub:
+            # Interleaved extra-bits, A,B per sample (AlacFile.cs:634-641).
+            ev = np.stack(extras, axis=1).astype(np.uint32).reshape(-1)
+            vals_arr = np.concatenate([np.asarray(vals, np.uint32), ev])
+            widths_arr = np.concatenate(
+                [np.asarray(widths, np.uint8), np.full(ev.size, 8 * ub, np.uint8)]
+            )
+        else:
+            vals_arr = np.asarray(vals, np.uint32)
+            widths_arr = np.asarray(widths, np.uint8)
+        pos = native.pack_bits_native(vals_arr, widths_arr, buf, 0)
+        mult = p.rice_history_mult_for(cfg.rice_modifier)
+        for chan, coefs in zip(chans, coef_arrays):
+            errs = native.predictor_errors_native(
+                np.asarray(chan, np.int32), coefs, order, cfg.quant, rss
+            )
+            pos = native.rice_encode_native(
+                errs, rss, p.rice_initial_history, p.rice_kmodifier,
+                mult, p.rice_kmodifier_mask, buf, pos,
+            )
+        return buf[: -(-pos // 8)].tobytes()
+
+    def _encode_frame_py(self, samples: np.ndarray) -> bytes:
+        """Pure-Python encoding path (fallback + oracle)."""
         p = self.params
         cfg = self.config
         n, nch = samples.shape

@@ -85,6 +85,22 @@ def get_lib() -> ctypes.CDLL | None:
                 + [_U8P, _U8P] + [_I32P] * 15
             )
             lib.alac_parse_headers.restype = ctypes.c_int64
+            lib.alac_pack_bits.argtypes = [
+                _U32P, _U8P, ctypes.c_int64, _U8P, ctypes.c_int64,
+            ]
+            lib.alac_pack_bits.restype = ctypes.c_int64
+            lib.alac_rice_encode.argtypes = [
+                _I32P, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                _U8P, ctypes.c_int64,
+            ]
+            lib.alac_rice_encode.restype = ctypes.c_int64
+            lib.alac_predictor_errors.argtypes = [
+                _I32P, ctypes.c_int64, _I32P,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _I32P,
+            ]
+            lib.alac_predictor_errors.restype = None
             _lib = lib
         except OSError:
             _lib = None
@@ -166,3 +182,53 @@ def parse_headers_native(
     )
     out["first_bad"] = int(ret) - 1 if ret else -1
     return out
+
+
+# -- encoder-side wrappers ----------------------------------------------
+
+
+def pack_bits_native(vals, widths, out, bitpos: int) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(
+        lib.alac_pack_bits(
+            np.ascontiguousarray(vals, np.uint32),
+            np.ascontiguousarray(widths, np.uint8),
+            np.int64(len(vals)),
+            out,
+            np.int64(bitpos),
+        )
+    )
+
+
+def rice_encode_native(
+    vals, rss, init_hist, kmod, mult, kmask, out, bitpos: int
+) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(
+        lib.alac_rice_encode(
+            np.ascontiguousarray(vals, np.int32),
+            np.int64(len(vals)),
+            np.int32(rss), np.int32(init_hist), np.int32(kmod),
+            np.int32(mult), np.int32(kmask),
+            out,
+            np.int64(bitpos),
+        )
+    )
+
+
+def predictor_errors_native(sig, coefs, order, quant, rss):
+    """Returns errs (n,) int32 and mutates coefs in place, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(sig, np.int32)
+    errs = np.empty_like(sig)
+    lib.alac_predictor_errors(
+        sig, np.int64(len(sig)), coefs,
+        np.int32(order), np.int32(quant), np.int32(rss), errs,
+    )
+    return errs
