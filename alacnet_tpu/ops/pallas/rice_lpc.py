@@ -302,7 +302,15 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         tuple(D0[: tmax + 1]),
         rc0,
     )
-    carry = jax.lax.fori_loop(0, S, step, carry)
+    # 2x-unrolled sample loop (amortizes loop mechanics ~10%; the body is
+    # otherwise latency-bound on the per-sample dependency chain).
+    if S % 2 == 0:
+        def step2(j, c):
+            return step(2 * j + 1, step(2 * j, c))
+
+        carry = jax.lax.fori_loop(0, S // 2, step2, carry)
+    else:
+        carry = jax.lax.fori_loop(0, S, step, carry)
 
     # Final partial tile flush.
     rem = S % out_tile
