@@ -188,6 +188,39 @@ def _predictor_errors(
     return err
 
 
+def levinson_coefs(signal: np.ndarray, order: int, quant: int) -> np.ndarray:
+    """Per-frame LPC coefficients via Levinson-Durbin, quantized.
+
+    Solves the normal equations on the frame's autocorrelation and maps
+    the standard predictor  x[i] ~ sum_k a_k x[i-k]  onto the decoder's
+    differential form  base + (sum_j coef[j]*(x[i-1-j]-base)) >> quant
+    (AlacFile.cs:297-308) by coef[j] = round(a_{j+1} * 2^quant) — exact
+    when sum a_k = 1, a good approximation for correlated audio.  Any
+    coefficients are lossless; this only improves compression.
+    """
+    x = np.asarray(signal, np.float64)
+    n = x.size
+    if n <= order + 1:
+        return np.zeros(order, np.int32)
+    r = np.array([np.dot(x[: n - k], x[k:]) for k in range(order + 1)])
+    if r[0] <= 0:
+        return np.zeros(order, np.int32)
+    r[0] *= 1.0 + 1e-9  # ridge for numerical safety
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    err = r[0]
+    for m in range(1, order + 1):
+        acc = r[m] + np.dot(a[1:m], r[1:m][::-1])
+        k = -acc / err
+        a[1:m] = a[1:m] + k * a[m - 1 : 0 : -1]
+        a[m] = k
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    coefs = np.round(-a[1 : order + 1] * (1 << quant))
+    return np.clip(coefs, -32768, 32767).astype(np.int32)
+
+
 #: Seed coefficient tables per order (quant=9 domain). Arbitrary but sane
 #: smooth-signal predictors; the adaptive update tunes them per frame.
 _SEED_COEFS = {
@@ -208,6 +241,7 @@ class EncoderConfig:
     order: int = 6  # 0=passthrough, 31=delta, else adaptive FIR
     quant: int = _DEFAULT_QUANT
     rice_modifier: int = 4  # per-channel modifier, 3-bit field
+    adaptive_coefs: bool = True  # per-frame Levinson-Durbin coefficients
     interlacing_shift: int = 1  # stereo mid/side-ish decorrelation
     interlacing_leftweight: int = 1  # 0 disables decorrelation
     force_uncompressed: bool = False
@@ -319,9 +353,9 @@ class AlacEncoder:
         vals += [0, 0] if nch == 1 else [sh, lw]
         widths += [8, 8]
         coef_arrays = []
-        for _ in chans:
+        for chan in chans:
             coefs = np.zeros(MAX_COEFS, np.int32)
-            seed = self._seed_coefs(order)
+            seed = self._choose_coefs(chan, order)
             coefs[: len(seed)] = seed
             coef_arrays.append(coefs)
             pv, pw = self._prediction_fields(list(coefs), order)
@@ -402,6 +436,12 @@ class AlacEncoder:
             return list(_SEED_COEFS[order])
         return [512] + [0] * (order - 1)
 
+    def _choose_coefs(self, chan: np.ndarray, order: int) -> list[int]:
+        """Per-frame coefficients: Levinson-Durbin or static seeds."""
+        if order in (0, 0x1F) or not self.config.adaptive_coefs:
+            return self._seed_coefs(order)
+        return [int(c) for c in levinson_coefs(chan, order, self.config.quant)]
+
     def _rice(self, w: BitWriter, rss: int) -> _RiceEncoder:
         p = self.params
         return _RiceEncoder(
@@ -420,7 +460,7 @@ class AlacEncoder:
         w.write(0, 8)
         w.write(0, 8)
         order = cfg.order
-        coefs = self._seed_coefs(order)
+        coefs = self._choose_coefs(hi, order)
         self._write_prediction_header(w, coefs, order)
         if ub:
             for e in extra:
@@ -446,8 +486,8 @@ class AlacEncoder:
         w.write(sh, 8)
         w.write(lw, 8)
         order = cfg.order
-        coefs_a = self._seed_coefs(order)
-        coefs_b = self._seed_coefs(order)
+        coefs_a = self._choose_coefs(chan_a, order)
+        coefs_b = self._choose_coefs(chan_b, order)
         self._write_prediction_header(w, coefs_a, order)
         self._write_prediction_header(w, coefs_b, order)
         if ub:
