@@ -56,8 +56,10 @@ from ...codec.cookie import RICE_THRESHOLD
 I32 = jnp.int32
 U32 = jnp.uint32
 
-LANES = 1024  # frames per grid block, shaped (8, 128)
+LANES = 1024  # minimum lane granularity (B must be a multiple)
 SUB, LN = 8, 128
+#: VMEM budget for the per-block word table (leaves room for staging).
+WORDS_VMEM_BUDGET = 12_200_000
 OUT_TILE = 256  # samples buffered between output DMAs
 MAX_ORDER = 31
 
@@ -120,7 +122,7 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
 
 def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             wvmem, otile, sem_w, sem_o, *, W8, S, max_order,
-            out_tile):
+            out_tile, sub):
     nb = pl.program_id(0)
     # Stage this block's word table into VMEM (single rectangular DMA).
     cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
@@ -138,7 +140,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     qshift = (quant - 1) & 31
 
     rc0 = tuple(rc_in_ref[0, t] for t in range(MAX_ORDER + 1))
-    D0 = tuple(jnp.zeros((SUB, LN), I32) for _ in range(MAX_ORDER + 1))
+    D0 = tuple(jnp.zeros((sub, LN), I32) for _ in range(MAX_ORDER + 1))
 
     is_pass = order == 0
     is_int31 = order == MAX_ORDER
@@ -156,16 +158,16 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
         g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
         g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
-        acc = [jnp.zeros((SUB, LN), U32) for _ in range(K)]
+        acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
 
         def body(g, acc):
-            tile = wvmem[g].reshape(SUB, SUB * LN)  # (8 words, 1024 lanes)
+            tile = wvmem[g].reshape(8, sub * LN)  # (8 words, sub*128 lanes)
             out = []
             for k in range(K):
-                o = (wps[k] & 7).reshape(1, SUB * LN)
-                idx = jnp.broadcast_to(o, (SUB, SUB * LN))
+                o = (wps[k] & 7).reshape(1, sub * LN)
+                idx = jnp.broadcast_to(o, (8, sub * LN))
                 got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
-                got = got.reshape(SUB, LN).astype(U32)
+                got = got.reshape(sub, LN).astype(U32)
                 out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
             return out
 
@@ -186,22 +188,22 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         roff = bitpos - (wp << 5)
 
         # ---- Rice event (AlacFile.cs:214-252) ----
-        k = jnp.minimum(31 - _clz32(_sra(hist, jnp.full((SUB, LN), 9, I32)) + 3), kmod)
-        raw, consumed = _decode_event(R, roff, jnp.zeros_like(roff), rss, k, jnp.full((SUB, LN), -1, I32))
+        k = jnp.minimum(31 - _clz32(_sra(hist, jnp.full_like(hist, 9)) + 3), kmod)
+        raw, consumed = _decode_event(R, roff, jnp.zeros_like(roff), rss, k, jnp.full_like(rss, -1))
         dv = raw + signmod
         tplus = dv + 1
-        almost = _sra(tplus, jnp.ones((SUB, LN), I32))
+        almost = _sra(tplus, jnp.ones_like(rss))
         almost = jnp.where((tplus < 0) & ((tplus & 1) != 0), almost + 1, almost)
         rice_val = jnp.where((dv & 1) != 0, -almost, almost)
         hist2 = jnp.where(
             dv > 0xFFFF,
             jnp.full_like(hist, 0xFFFF),
-            hist + dv * mult - _sra(hist * mult, jnp.full((SUB, LN), 9, I32)),
+            hist + dv * mult - _sra(hist * mult, jnp.full_like(hist, 9)),
         )
         zcond = (hist2 < 128) & (i + 1 < n)
         hz = hist2
         kz = _clz32(hz) + jnp.where(hz >= 0, (hz + 16) // 64, -((-(hz + 16)) // 64)) - 24
-        bsize, bcons = _decode_event(R, roff, consumed, jnp.full((SUB, LN), 16, I32), kz, kmask)
+        bsize, bcons = _decode_event(R, roff, consumed, jnp.full_like(rss, 16), kz, kmask)
         consumed_tot = consumed + jnp.where(zcond, bcons, 0)
 
         err = jnp.where(do, rice_val, jnp.zeros_like(rice_val))
@@ -211,10 +213,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             jax.lax.shift_left(prev + err, (32 - rss) & 31), (32 - rss) & 31
         )
         base = D[0]
-        fir = jnp.zeros((SUB, LN), I32)
+        fir = jnp.zeros((sub, LN), I32)
         for t in range(1, tmax + 1):
             fir = fir + (D[t] - base) * rc[t]
-        outval = _sra(jax.lax.shift_left(jnp.ones((SUB, LN), I32), qshift) + fir, quant)
+        outval = _sra(jax.lax.shift_left(jnp.ones_like(rss), qshift) + fir, quant)
         out_fir = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(outval + base + err, (32 - rss) & 31), (32 - rss) & 31
         )
@@ -290,7 +292,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             hist_n, sign_n, zrun_n, prev_n, D, rc,
         )
 
-    zeros = jnp.zeros((SUB, LN), I32)
+    zeros = jnp.zeros((sub, LN), I32)
     carry = (
         start,
         wp0,
@@ -345,16 +347,24 @@ def fused_rice_lpc(
     """
     B, W = words.shape
     assert B % LANES == 0 and W % 8 == 0, (B, W)
-    NB = B // LANES
     W8 = W // 8
     S = num_samples
 
-    def lane_view(x):  # (B, ...) -> (NB, ..., 8, 128)
-        return x.reshape(NB, SUB, LN, *x.shape[1:])
+    # Widest lane tile whose word table fits the VMEM budget: wider tiles
+    # ((16,128), (32,128)) amortize the per-op dependency-chain latency
+    # over more vreg-cycles — the kernel is latency-bound, not
+    # throughput-bound.
+    sub = 8
+    for cand in (32, 16):
+        if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
+            sub = cand
+            break
+    lanes = sub * LN
+    NB = B // lanes
 
-    # words: (B, W) -> (NB, W8, 8w, 8s, 128l)
+    # words: (B, W) -> (NB, W8, 8w, sub, 128l)
     wordsv = (
-        words.reshape(NB, SUB, LN, W8, 8).transpose(0, 3, 4, 1, 2)
+        words.reshape(NB, sub, LN, W8, 8).transpose(0, 3, 4, 1, 2)
     )
     params = jnp.stack(
         [
@@ -363,32 +373,33 @@ def fused_rice_lpc(
         + [jnp.zeros_like(n)] * (NP - 9),
         axis=0,
     ).astype(I32)  # (NP, B)
-    paramsv = params.reshape(NP, NB, SUB, LN).transpose(1, 0, 2, 3)
-    rcv = rc.astype(I32).reshape(NB, SUB, LN, MAX_ORDER + 1).transpose(0, 3, 1, 2)
+    paramsv = params.reshape(NP, NB, sub, LN).transpose(1, 0, 2, 3)
+    rcv = rc.astype(I32).reshape(NB, sub, LN, MAX_ORDER + 1).transpose(0, 3, 1, 2)
 
-    out_tile = min(OUT_TILE, S)
+    # Smaller output staging for wide tiles (VMEM headroom).
+    out_tile = min(OUT_TILE if sub == 8 else 128, S)
     kern = functools.partial(
-        _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile
+        _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub
     )
     out, state = pl.pallas_call(
         kern,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, NP, SUB, LN), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, MAX_ORDER + 1, SUB, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, NP, sub, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, MAX_ORDER + 1, sub, LN), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, SUB, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 8, sub, LN), lambda b: (b, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NB, S, SUB, LN), I32),
-            jax.ShapeDtypeStruct((NB, 8, SUB, LN), I32),
+            jax.ShapeDtypeStruct((NB, S, sub, LN), I32),
+            jax.ShapeDtypeStruct((NB, 8, sub, LN), I32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W8, SUB, SUB, LN), U32),
-            pltpu.VMEM((out_tile, SUB, LN), I32),
+            pltpu.VMEM((W8, 8, sub, LN), U32),
+            pltpu.VMEM((out_tile, sub, LN), I32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
