@@ -175,11 +175,17 @@ def decode_frames(
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
             S, max_order=max_order,
         )
-        out_b, _ = fused_rice_lpc(
-            words, pos_after_a, n_b,
-            m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
-            m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
-            S, max_order=max_order,
+        # Channel B only exists for stereo lanes; skip the whole pass when
+        # the batch is mono (a frozen scan still costs a full S-step loop).
+        out_b, _ = jax.lax.cond(
+            jnp.any(n_b > 0),
+            lambda: fused_rice_lpc(
+                words, pos_after_a, n_b,
+                m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
+                m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
+                S, max_order=max_order,
+            ),
+            lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )
     else:
         err_a, pos_after_a = rice_decode(

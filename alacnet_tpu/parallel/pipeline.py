@@ -75,8 +75,13 @@ def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
     return use, max_order
 
 
-def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a parsed FrameBatch -> (samples (B, S, 2) int32, n (B,))."""
+def dispatch_frame_batch(fb: FrameBatch, max_samples: int):
+    """Parse-side dispatch: returns device arrays without synchronizing.
+
+    JAX dispatch is asynchronous, so the caller can keep parsing the next
+    batch on the host while the device decodes this one (the host->device
+    pipeline stage overlap, SURVEY.md §2.5 "PP").
+    """
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
     use_fused, max_order = _fused_plan(fb)
@@ -90,6 +95,12 @@ def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np
         max_order=max_order,
         emit16=emit16,
     )
+    return out, n, orig_b
+
+
+def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a parsed FrameBatch -> (samples (B, S, 2) int32, n (B,))."""
+    out, n, orig_b = dispatch_frame_batch(fb, max_samples)
     return np.asarray(out[:orig_b]), np.asarray(n[:orig_b])
 
 
@@ -119,6 +130,22 @@ def decode_blob(
         strict = DEFAULT.strict
     outs, ns, sts = [], [], []
     F = len(offsets)
+    # Bounded async pipeline: the device decodes batch k while the host
+    # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).
+    pending: list = []
+
+    def drain_one():
+        out_d, n_d, orig_b, frames, nbytes, status = pending.pop(0)
+        with trace_span("alac.device.decode", "device_seconds"):
+            out = np.asarray(out_d[:orig_b])
+            n = np.asarray(n_d[:orig_b])
+        GLOBAL_STATS.record(
+            frames=frames, samples=int(n.sum()), coded_bytes=nbytes
+        )
+        outs.append(out)
+        ns.append(n)
+        sts.append(status)
+
     for lo in range(0, F, batch_limit):
         hi = min(lo + batch_limit, F)
         p = params if isinstance(params, CodecParams) else params[lo:hi]
@@ -126,16 +153,15 @@ def decode_blob(
             fb = parse_frame_headers_blob(
                 blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict
             )
-        with trace_span("alac.device.decode", "device_seconds"):
-            out, n = decode_frame_batch(fb, max_samples)
-        GLOBAL_STATS.record(
-            frames=hi - lo,
-            samples=int(n.sum()),
-            coded_bytes=int(sizes[lo:hi].sum()),
+        out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples)
+        pending.append(
+            (out_d, n_d, orig_b, hi - lo, int(sizes[lo:hi].sum()),
+             fb.status[: hi - lo])
         )
-        outs.append(out)
-        ns.append(n)
-        sts.append(fb.status[: hi - lo])
+        if len(pending) >= 2:
+            drain_one()
+    while pending:
+        drain_one()
     if not outs:
         return (
             np.zeros((0, max_samples, 2), np.int32),
