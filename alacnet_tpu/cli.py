@@ -93,6 +93,49 @@ def _cmd_encode(args) -> int:
     return 0
 
 
+def _cmd_verify(args) -> int:
+    """Decode, losslessly re-encode, decode again, compare bit-for-bit."""
+    import io
+
+    from .batch import decode_file, decode_streams
+    from .codec.encoder import EncoderConfig, encode_m4a
+
+    dec = decode_file(args.path)
+    buf = io.BytesIO()
+    encode_m4a(
+        buf,
+        dec.pcm.astype(np.int32),
+        dec.sample_rate,
+        dec.bits_per_sample,
+        EncoderConfig(order=args.order),
+    )
+    buf.seek(0)
+    (redec,) = decode_streams([buf])
+    ok = np.array_equal(redec.pcm, dec.pcm)
+    ratio = buf.getbuffer().nbytes / max(
+        1, dec.pcm.size * (dec.bits_per_sample // 8)
+    )
+    print(
+        f"{'OK' if ok else 'MISMATCH'}: {dec.num_samples} samples, "
+        f"re-encode ratio {ratio:.3f}"
+        + (f", {len(dec.bad_frames)} bad frames" if len(dec.bad_frames) else "")
+    )
+    return 0 if ok else 1
+
+
+def _cmd_stats(args) -> int:
+    """Decode file(s) and print pipeline counters."""
+    from .batch import decode_files
+    from .utils.observability import GLOBAL_STATS
+
+    GLOBAL_STATS.reset()
+    results = decode_files(args.paths)
+    total = sum(r.num_samples for r in results)
+    print(json.dumps({"files": len(results), "samples": total,
+                      **GLOBAL_STATS.snapshot()}))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from .bench_lib import run_benchmark
 
@@ -133,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--order", type=int, default=6)
     p.add_argument("--bits", type=int, default=0)
     p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser(
+        "verify", help="decode -> lossless re-encode -> compare bit-for-bit"
+    )
+    p.add_argument("path")
+    p.add_argument("--order", type=int, default=6)
+    p.set_defaults(fn=_cmd_verify)
+
+    p = sub.add_parser("stats", help="decode files and print pipeline counters")
+    p.add_argument("paths", nargs="+")
+    p.set_defaults(fn=_cmd_stats)
 
     p = sub.add_parser("bench", help="synthetic decode throughput benchmark")
     p.add_argument("--batch", type=int, default=1024)

@@ -166,20 +166,30 @@ def write_m4a(
     mdat_first: bool = False,
     uniform_stsz: bool = False,
     free_padding: int = 0,
+    chunk_gap: int = 0,
 ) -> None:
     """Assemble a complete .m4a file from coded ALAC frames.
 
     ``mdat_first=True`` writes mdat before moov, exercising the saved-
     position rewind path (QTMovieT.cs:78-93,736-751). ``free_padding``
     inserts a 'free' atom at the top level (skipped at QTMovieT.cs:95-98).
+    ``chunk_gap`` inserts dead bytes between chunks inside mdat — a legal
+    layout that the table-driven reader handles but the reference's
+    sequential mdat reads (AlacContext.cs:195) cannot.
     """
     frame_sizes = [len(f) for f in frames]
     total_duration = int(sum(frame_durations))
-    mdat_payload = b"".join(frames)
+    nchunks = max(1, -(-len(frames) // frames_per_chunk))
+    gap = b"\xee" * chunk_gap
+    chunks = []
+    for i in range(nchunks):
+        lo = i * frames_per_chunk
+        hi = min(lo + frames_per_chunk, len(frames))
+        chunks.append(b"".join(frames[lo:hi]))
+    mdat_payload = gap.join(chunks) if chunk_gap else b"".join(chunks)
     mdat = _atom("mdat", mdat_payload)
     free = _atom("free", b"\x00" * free_padding) if free_padding else b""
 
-    nchunks = max(1, -(-len(frames) // frames_per_chunk))
     stsc_entries = [(1, frames_per_chunk, 1)]
     last = len(frames) - frames_per_chunk * (nchunks - 1)
     if nchunks > 1 and last != frames_per_chunk:
@@ -190,9 +200,7 @@ def write_m4a(
         pos = mdat_payload_pos
         for i in range(nchunks):
             offs.append(pos)
-            lo = i * frames_per_chunk
-            hi = min(lo + frames_per_chunk, len(frames))
-            pos += sum(frame_sizes[lo:hi])
+            pos += len(chunks[i]) + chunk_gap
         return offs
 
     if mdat_first:

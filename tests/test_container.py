@@ -158,3 +158,23 @@ class TestSampleTables:
         # past EOF
         frame, *_ = t.locate_pcm_sample(10**9)
         assert frame == 4
+
+
+class TestGappedChunks:
+    def test_chunk_gaps_honored_by_table_driven_access(self):
+        """Dead bytes between mdat chunks: stco/stsz addressing must be
+        honored (the reference's sequential reads would desync here)."""
+        import alacnet_tpu
+
+        pcm = tone(4096 * 3 + 100, 2, 16)
+        data = encode_to_bytes(pcm, 44100, 16, None, frames_per_chunk=2, chunk_gap=37)
+        (res,) = alacnet_tpu.decode_streams([io.BytesIO(data)])
+        np.testing.assert_array_equal(res.pcm, pcm)
+
+    def test_chunk_gap_offsets(self):
+        data = encode_to_bytes(tone(4096 * 2, 2, 16), 44100, 16, None,
+                               frames_per_chunk=1, chunk_gap=10)
+        info = demux.parse(io.BytesIO(data))
+        offs = info.tables.frame_file_offsets()
+        sizes = info.tables.frame_byte_sizes
+        assert offs[1] == offs[0] + sizes[0] + 10
