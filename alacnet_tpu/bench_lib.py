@@ -124,6 +124,18 @@ def run_benchmark(
         times.append(time.perf_counter() - t0)
     best = min(times)
     total_samples = int(np.asarray(n).sum())
+    # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's output
+    # must match the reference-semantics XLA scan path bit for bit.
+    if use_fused:
+        fused_out, _ = decode_frames(
+            *variants[0], frame_samples, use_fused=True, max_order=max_order
+        )
+        ref_out, _ = decode_frames(
+            *variants[0], frame_samples, use_fused=False, max_order=max_order
+        )
+        parity_ok = bool(jnp.array_equal(fused_out, ref_out).item())
+    else:
+        parity_ok = True
     if include_host:
         best += host_parse_s
     msps = total_samples / best / 1e6
@@ -143,4 +155,5 @@ def run_benchmark(
         "repeats": repeats,
         "backend": jax.default_backend(),
         "fused_kernel": use_fused,
+        "parity_ok": parity_ok,
     }

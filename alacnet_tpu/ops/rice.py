@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codec.cookie import RICE_THRESHOLD
-from .bitops import I32, U32, clz32, lsr, sra, trunc_div2_plus1, trunc_div_const
+from .bitops import I32, clz32, sra, trunc_div2_plus1, trunc_div_const
 from .bitreader import gather_window, window_bits
 
 

@@ -16,7 +16,7 @@ from alacnet_tpu.bench_lib import run_benchmark  # noqa: E402
 
 
 def main() -> None:
-    result = run_benchmark(batch=4096, repeats=3)
+    result = run_benchmark(batch=4096, repeats=5)
     print(json.dumps(result))
 
 

@@ -95,3 +95,15 @@ class TestObservability:
     def test_trace_span(self):
         with trace_span("alac.test"):
             pass
+
+
+class TestBenchHarness:
+    def test_run_benchmark_smoke(self):
+        """bench.py's engine produces a sane record (tiny CPU config)."""
+        from alacnet_tpu.bench_lib import run_benchmark
+
+        r = run_benchmark(batch=8, frame_samples=128, repeats=1)
+        assert r["unit"] == "Msamples/s/chip"
+        assert r["value"] > 0
+        assert r["parity_ok"] is True
+        assert r["batch_frames"] == 8
