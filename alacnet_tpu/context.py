@@ -37,11 +37,13 @@ class AlacContext:
         self,
         stream: BinaryIO,
         dispose_stream: bool = False,
-        window: int = 64,
+        window: int | None = None,
     ):
+        from .config import DEFAULT
+
         self._stream = stream
         self._dispose_stream = dispose_stream
-        self._window = max(1, window)
+        self._window = max(1, window if window is not None else DEFAULT.stream_window)
         self.info = demux.parse(stream)  # raises HeaderError like the ctor
         self._tables = self.info.tables
         self._offsets = self._tables.frame_file_offsets()

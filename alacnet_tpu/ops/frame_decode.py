@@ -155,7 +155,9 @@ def decode_frames(
     words = words.astype(U32)
     m = meta
 
-    n = jnp.minimum(m.n_samples, S)
+    # Clamp to [0, S]: a malformed explicit sample count (hassize path,
+    # AlacFile.cs:447-453) must not leak negative/oversized n downstream.
+    n = jnp.clip(m.n_samples, 0, S)
     n_comp = jnp.where(m.is_compressed, n, 0)
     n_b = jnp.where(m.is_stereo, n_comp, 0)
 

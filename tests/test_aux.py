@@ -107,3 +107,41 @@ class TestBenchHarness:
         assert r["value"] > 0
         assert r["parity_ok"] is True
         assert r["batch_frames"] == 8
+
+
+class TestFuzz:
+    def test_random_garbage_frames_never_crash(self, rng):
+        """Arbitrary bytes as coded frames: lenient decode must terminate
+        with bounded output and no exception (clamped gathers, frozen
+        lanes past n, masked tails)."""
+        from alacnet_tpu.parallel.pipeline import decode_blob
+        from alacnet_tpu.codec.cookie import default_cookie
+
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=256)
+        sizes = rng.integers(1, 400, size=64).astype(np.int64)
+        blob = rng.integers(0, 256, size=int(sizes.sum()), dtype=np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        out, n, status = decode_blob(
+            blob, offsets, sizes, params, 256, strict=False
+        )
+        assert out.shape[0] == 64
+        assert (n <= 256).all() and (n >= 0).all()
+
+    def test_bit_flip_fuzz_other_frames_intact(self, rng):
+        """Flip random bits inside one frame's payload: other frames must
+        stay bit-exact (per-lane isolation)."""
+        from alacnet_tpu.container import demux
+
+        pcm = tone(4096 * 4, 2, 16)
+        data = bytearray(encode_to_bytes(pcm, 44100, 16))
+        info = demux.parse(io.BytesIO(bytes(data)))
+        offs = info.tables.frame_file_offsets()
+        sizes = info.tables.frame_byte_sizes
+        # corrupt frame 2's payload body
+        for _ in range(20):
+            pos = int(offs[2]) + 20 + int(rng.integers(0, sizes[2] - 30))
+            data[pos] ^= 1 << int(rng.integers(0, 8))
+        (res,) = decode_streams([io.BytesIO(bytes(data))], strict=False)
+        got = res.pcm
+        np.testing.assert_array_equal(got[: 4096 * 2], pcm[: 4096 * 2])
+        np.testing.assert_array_equal(got[-4096:], pcm[-4096:])
