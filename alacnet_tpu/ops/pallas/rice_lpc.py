@@ -73,18 +73,26 @@ def _sel4(wi, a, b, c, d):
     return jnp.where(wi == 0, a, jnp.where(wi == 1, b, jnp.where(wi == 2, c, d)))
 
 
-def _bits(R, roff, off, n):
-    """Extract an n-bit field at reservoir bit offset roff+off.
+def _window32(R, roff, off):
+    """The 32 bits at reservoir bit offset roff+off, left-aligned.
 
-    R: 4x (8,128) uint32 words; roff+off <= 81, n in [1, 32].  Mirrors
-    the reference's Readbits composition (AlacFile.cs:101-129).
+    R: 4x (8,128) uint32 words; roff+off <= 81.  Mirrors the reference's
+    Readbits composition (AlacFile.cs:101-129); callers shift down to the
+    field width (one extraction can serve several speculative widths).
     """
     p = roff + off
     wi = p >> 5
     s2 = (p & 31).astype(U32)
     hi = _sel4(wi, R[0], R[1], R[2], R[3])
     lo = _sel4(wi, R[1], R[2], R[3], R[3])
-    x = (hi << s2) | jnp.where(s2 == 0, jnp.zeros_like(lo), lo >> ((32 - s2) & 31))
+    return (hi << s2) | jnp.where(
+        s2 == 0, jnp.zeros_like(lo), lo >> ((32 - s2) & 31)
+    )
+
+
+def _bits(R, roff, off, n):
+    """Extract an n-bit field at reservoir bit offset roff+off."""
+    x = _window32(R, roff, off)
     n = jnp.asarray(n, U32)
     return (x >> ((32 - n) & 31)).astype(U32)
 
@@ -108,9 +116,12 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
     ucons = jnp.where(x > RICE_THRESHOLD, 9, x + 1)
     field_off = off + ucons
     esc = x > RICE_THRESHOLD
-    esc_val = _bits(R, roff, field_off, rss).astype(I32)
+    # One aligned window serves both speculative reads (escape rss bits
+    # vs k extra bits — only one is consumed).
+    fwin = _window32(R, roff, field_off)
+    esc_val = (fwin >> ((32 - rss.astype(U32)) & 31)).astype(I32)
     k_safe = jnp.clip(k, 1, 31)
-    extra = _bits(R, roff, field_off, k_safe).astype(I32)
+    extra = (fwin >> ((32 - k_safe.astype(U32)) & 31)).astype(I32)
     m = ((jnp.full_like(k_safe, 1) << k_safe) - 1) & mult_mask
     vk = x * m + jnp.where(extra > 1, extra - 1, 0)
     k_cons = jnp.where(extra > 1, k_safe, k_safe - 1)
