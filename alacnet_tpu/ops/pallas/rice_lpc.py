@@ -370,6 +370,11 @@ def fused_rice_lpc(
         if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
             sub = cand
             break
+    if W8 * sub * 4096 > WORDS_VMEM_BUDGET:
+        raise ValueError(
+            f"frame word table too large for VMEM ({W8 * 8} words/frame); "
+            "gate with parallel.pipeline.FUSED_MAX_WORDS and use the XLA path"
+        )
     lanes = sub * LN
     NB = B // lanes
 

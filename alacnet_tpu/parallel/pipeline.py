@@ -54,10 +54,11 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
     return FrameBatch(**fields)
 
 
-#: Fused-kernel eligibility: lane count and VMEM word-table cap
-#: (W8 * 8 KiB per 1024-lane block must leave room for staging).
+#: Fused-kernel eligibility: lane count and VMEM word-table cap — the
+#: per-block word table costs W * 1024 lanes * 4 bytes and must leave
+#: room for output staging (ops/pallas/rice_lpc.WORDS_VMEM_BUDGET).
 FUSED_MIN_BATCH = 1024
-FUSED_MAX_WORDS = 2700 * 8
+FUSED_MAX_WORDS = 2900  # words (~11.9 MB table at 1024 lanes)
 
 
 def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
@@ -128,8 +129,20 @@ def decode_blob(
         batch_limit = DEFAULT.batch_limit
     if strict is None:
         strict = DEFAULT.strict
-    outs, ns, sts = [], [], []
     F = len(offsets)
+    # Size-sorted batching: batches share a word-width bucket, so one fat
+    # frame doesn't widen (or de-eligibilize from the fused kernel) a
+    # whole mixed batch, and lanes within a kernel block stay
+    # divergence-bounded. Outputs are unsorted at the end.
+    wb = (sizes // (WORD_BUCKET * 4)).astype(np.int64)
+    perm = np.argsort(wb, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(F)
+    offsets = np.asarray(offsets)[perm]
+    sizes = np.asarray(sizes)[perm]
+    if not isinstance(params, CodecParams):
+        params = [params[i] for i in perm]
+    outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).
     pending: list = []
@@ -168,7 +181,11 @@ def decode_blob(
             np.zeros(0, np.int32),
             np.zeros(0, np.int32),
         )
-    return np.concatenate(outs), np.concatenate(ns), np.concatenate(sts)
+    return (
+        np.concatenate(outs)[inv],
+        np.concatenate(ns)[inv],
+        np.concatenate(sts)[inv],
+    )
 
 
 def decode_payloads(
