@@ -93,6 +93,16 @@ def _extra_bits(words, m: FrameMetaArrays, S: int):
     )
 
 
+def _extend_raw(v, m: FrameMetaArrays):
+    """Raw-sample sign extension: plain for ss<=16, the reference's
+    hard-coded 24-bit (x ^ m) - m form for ss>16 (:512-521)."""
+    ss = m.sample_size
+    le16 = signext(v, ss[:, None])
+    mbit = 1 << 23
+    gt16 = ((v & 0xFFFFFF) ^ mbit) - mbit
+    return jnp.where((ss <= 16)[:, None], le16, gt16)
+
+
 def _raw_pcm(words, m: FrameMetaArrays, S: int):
     """Uncompressed frame bodies (:500-524,665-696)."""
     ss = m.sample_size
@@ -162,12 +172,27 @@ def decode_frames(
     n_b = jnp.where(m.is_stereo, n_comp, 0)
 
     # ---- compressed path ----
+    zeros_bs = lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32))  # noqa: E731
     any_extra = jnp.any(m.ub > 0)
-    extra_a, extra_b = jax.lax.cond(
-        any_extra,
-        lambda: _extra_bits(words, m, S),
-        lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32)),
-    )
+    if use_fused:
+        # Affine-stride extraction via the bulk-bits kernel (the XLA
+        # (B,S)-indexed gather costs ~0.4 s at 4096x4096 on v5e).
+        from .pallas.bulk_bits import bulk_bits
+
+        ub8 = m.ub * 8
+        n_eb = jnp.where((m.ub > 0) & m.is_compressed, n, 0)
+        extra_a, extra_b = jax.lax.cond(
+            any_extra,
+            lambda: bulk_bits(
+                words, m.payload_pos, n_eb, ub8,
+                jnp.where(m.is_stereo, ub8, 0), S,
+            ),
+            zeros_bs,
+        )
+    else:
+        extra_a, extra_b = jax.lax.cond(
+            any_extra, lambda: _extra_bits(words, m, S), zeros_bs
+        )
     if use_fused:
         from .pallas.rice_lpc import fused_rice_lpc
 
@@ -208,11 +233,23 @@ def decode_frames(
 
     # ---- raw path (cond'd out when every lane is compressed) ----
     any_raw = jnp.any(~m.is_compressed)
-    raw_a, raw_b = jax.lax.cond(
-        any_raw,
-        lambda: _raw_pcm(words, m, S),
-        lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32)),
-    )
+    if use_fused:
+        from .pallas.bulk_bits import bulk_bits
+
+        n_raw = jnp.where(m.is_compressed, 0, n)
+
+        def _raw_fused():
+            ra, rb = bulk_bits(
+                words, m.payload_pos, n_raw, m.sample_size,
+                jnp.where(m.is_stereo, m.sample_size, 0), S,
+            )
+            return _extend_raw(ra, m), _extend_raw(rb, m)
+
+        raw_a, raw_b = jax.lax.cond(any_raw, _raw_fused, zeros_bs)
+    else:
+        raw_a, raw_b = jax.lax.cond(
+            any_raw, lambda: _raw_pcm(words, m, S), zeros_bs
+        )
     comp = m.is_compressed[:, None]
     a = jnp.where(comp, out_a, raw_a)
     b = jnp.where(comp, out_b, raw_b)

@@ -1,0 +1,186 @@
+"""Fixed-stride bulk bit extraction as a Pallas kernel.
+
+Serves the two non-entropy bitstream consumers of DecodeFrame:
+
+  * the extra-bits side channel — ub*8-bit fields, interleaved A,B per
+    sample for stereo (AlacFile.cs:476-482,634-641);
+  * raw-PCM (uncompressed) frame bodies — sample_size-bit fields, A,B
+    interleaved (AlacFile.cs:498-526,663-700).
+
+Both consume a per-lane *affine* bit position: two fields of widths
+(n1, n2) per step, advancing by n1+n2 <= 48 bits.  The XLA formulation is
+a (B, S)-indexed gather which costs ~420 ms at 4096x4096 on v5e; this
+kernel walks the same per-lane reservoir as ops/pallas/rice_lpc.py at a
+fixed stride and costs milliseconds.
+
+Returns raw right-aligned fields; sign extension / merging stays in the
+XLA epilogue (ops/frame_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rice_lpc import (
+    I32,
+    LANES,
+    LN,
+    NP,
+    U32,
+    WORDS_VMEM_BUDGET,
+    _window32,
+)
+
+#: params rows
+B_START, B_N, B_N1, B_N2 = range(4)
+OUT_TILE = 256
+
+
+def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
+            wvmem, ta, tb, sem_w, sem_o, *, W8, S, out_tile, sub):
+    nb = pl.program_id(0)
+    cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
+    cp.start()
+    start = params_ref[0, B_START]
+    n = params_ref[0, B_N]
+    n1 = params_ref[0, B_N1]
+    n2 = params_ref[0, B_N2]
+    stride = n1 + n2
+    cp.wait()
+
+    def fetch_words(wp, live, K: int):
+        wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
+        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
+        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
+        acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
+
+        def body(g, acc):
+            tile = wvmem[g].reshape(8, sub * LN)
+            out = []
+            for k in range(K):
+                o = (wps[k] & 7).reshape(1, sub * LN)
+                idx = jnp.broadcast_to(o, (8, sub * LN))
+                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
+                got = got.reshape(sub, LN).astype(U32)
+                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
+            return out
+
+        return jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
+
+    live0 = n > 0
+    wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
+    R = fetch_words(wp0, live0, 4)
+
+    def step(i, carry):
+        bitpos, wp, R0, R1, R2, R3 = carry
+        R4 = (R0, R1, R2, R3)
+        active = i < n
+        roff = bitpos - (wp << 5)
+        wa = _window32(R4, roff, jnp.zeros_like(roff))
+        va = (wa >> ((32 - n1.astype(U32)) & 31)).astype(I32)
+        wb = _window32(R4, roff, n1)
+        vb = (wb >> ((32 - n2.astype(U32)) & 31)).astype(I32)
+        ta[(i % out_tile)] = jnp.where(active, va, 0)
+        tb[(i % out_tile)] = jnp.where(active & (n2 > 0), vb, 0)
+
+        @pl.when((i % out_tile) == out_tile - 1)
+        def _flush():
+            for t, dst in ((ta, outa_hbm), (tb, outb_hbm)):
+                c = pltpu.make_async_copy(
+                    t, dst.at[nb, pl.ds(i - (out_tile - 1), out_tile)], sem_o
+                )
+                c.start()
+                c.wait()
+
+        bitpos2 = jnp.where(active, bitpos + stride, bitpos)
+        wp_new = bitpos2 >> 5
+        shifts = wp_new - wp
+        F = fetch_words(wp + 4, shifts > 0, 2)
+        R0n, R1n, R2n, R3n = R0, R1, R2, R3
+        for kk in range(2):
+            c = shifts > kk
+            R0n = jnp.where(c, R1n, R0n)
+            R1n = jnp.where(c, R2n, R1n)
+            R2n = jnp.where(c, R3n, R2n)
+            R3n = jnp.where(c, F[kk], R3n)
+        return (bitpos2, wp_new, R0n, R1n, R2n, R3n)
+
+    carry = (start, wp0, R[0], R[1], R[2], R[3])
+    carry = jax.lax.fori_loop(0, S, step, carry)
+    rem = S % out_tile
+    if rem:
+        for t, dst in ((ta, outa_hbm), (tb, outb_hbm)):
+            c = pltpu.make_async_copy(
+                t.at[pl.ds(0, rem)], dst.at[nb, pl.ds(S - rem, rem)], sem_o
+            )
+            c.start()
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def bulk_bits(
+    words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
+    start_bitpos,  # (B,) int32
+    n,  # (B,) int32 steps per lane (0 freezes)
+    n1,  # (B,) int32 first-field width, 1..32 where active
+    n2,  # (B,) int32 second-field width, 0..32 (0 -> single field)
+    num_samples: int,
+    interpret: bool = False,
+):
+    """Extract (A, B) field streams at a fixed per-lane stride.
+
+    Returns (a (B, S) int32, b (B, S) int32); n1+n2 <= 48 bits per step.
+    """
+    B, W = words.shape
+    assert B % LANES == 0 and W % 8 == 0, (B, W)
+    W8 = W // 8
+    S = num_samples
+    sub = 8
+    for cand in (32, 16):
+        if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
+            sub = cand
+            break
+    if W8 * sub * 4096 > WORDS_VMEM_BUDGET:
+        raise ValueError(f"word table too large ({W8 * 8} words/frame)")
+    lanes = sub * LN
+    NB = B // lanes
+    wordsv = words.reshape(NB, sub, LN, W8, 8).transpose(0, 3, 4, 1, 2)
+    params = jnp.stack(
+        [start_bitpos, n, n1, n2] + [jnp.zeros_like(n)] * (NP - 4), axis=0
+    ).astype(I32)
+    paramsv = params.reshape(NP, NB, sub, LN).transpose(1, 0, 2, 3)
+    out_tile = min(OUT_TILE if sub == 8 else 128, S)
+    kern = functools.partial(_kernel, W8=W8, S=S, out_tile=out_tile, sub=sub)
+    outa, outb = pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, NP, sub, LN), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, S, sub, LN), I32),
+            jax.ShapeDtypeStruct((NB, S, sub, LN), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W8, 8, sub, LN), U32),
+            pltpu.VMEM((out_tile, sub, LN), I32),
+            pltpu.VMEM((out_tile, sub, LN), I32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(paramsv, wordsv)
+    a = outa.transpose(0, 2, 3, 1).reshape(B, S)
+    b = outb.transpose(0, 2, 3, 1).reshape(B, S)
+    return a, b

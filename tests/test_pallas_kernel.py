@@ -89,3 +89,44 @@ def test_fused_kernel_matches_xla_path(bits, rng):
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+@pytest.mark.parametrize("cfg", ["extra_bits", "raw16", "raw24"])
+def test_bulk_bits_matches_xla_gather(cfg, rng):
+    """The fixed-stride bulk-bits kernel vs the XLA gather formulation."""
+    from alacnet_tpu.ops.bitreader import gather_bits
+    from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits
+
+    # W sized so start + S*stride + window slack stays inside the table
+    # (out-of-bounds reads are clamped differently by the two paths and
+    # are unreachable for real sized frames).
+    B, S, W = LANES, 64, 128
+    words = jnp.asarray(
+        rng.integers(0, 2**32, (B, W), dtype=np.uint64).astype(np.uint32)
+    )
+    start = jnp.asarray(rng.integers(0, 200, B).astype(np.int32))
+    n = jnp.asarray(rng.integers(0, S + 1, B).astype(np.int32))
+    if cfg == "extra_bits":
+        n1 = np.full(B, 8, np.int32)
+        n2 = np.where(rng.integers(0, 2, B) > 0, 8, 0).astype(np.int32)
+    elif cfg == "raw16":
+        n1 = np.full(B, 16, np.int32)
+        n2 = np.full(B, 16, np.int32)
+    else:
+        n1 = np.full(B, 24, np.int32)
+        n2 = np.where(rng.integers(0, 2, B) > 0, 24, 0).astype(np.int32)
+    a, b = bulk_bits(
+        words, start, n, jnp.asarray(n1), jnp.asarray(n2), S,
+        interpret=jax.default_backend() != "tpu",
+    )
+    stride = (n1 + n2).astype(np.int32)
+    idx = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] * stride[:, None]
+    live = np.arange(S)[None, :] < np.asarray(n)[:, None]
+    ref_a = np.where(live, np.asarray(gather_bits(words, idx, n1[:, None])), 0)
+    ref_b = np.where(
+        live & (n2 > 0)[:, None],
+        np.asarray(gather_bits(words, idx + n1[:, None], np.maximum(n2, 1)[:, None])),
+        0,
+    )
+    np.testing.assert_array_equal(np.asarray(a), ref_a.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(b), ref_b.astype(np.int32))
