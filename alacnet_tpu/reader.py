@@ -49,6 +49,8 @@ class ALACFileReader:
         num = self._context.get_num_samples()
         self._length = max(num, 0) * self._wave_format.block_align
         self._leftover = b""
+        self._logical_pos = 0  # true byte cursor (io protocol; the
+        # `position` property keeps the reference's LastSampleNumber view)
         self._lock = threading.Lock()
 
     # -- stream surface (ALACFileReader.cs:58-116) ----------------------------
@@ -77,6 +79,7 @@ class ALACFileReader:
         with self._lock:
             self._context.set_position(value // self._wave_format.block_align)
             self._leftover = b""  # drop buffered data on reposition (:71)
+            self._logical_pos = int(value)
 
     @property
     def current_time(self) -> float:
@@ -100,6 +103,7 @@ class ALACFileReader:
                 chunks.append(unpacked[:take])
                 self._leftover = unpacked[take:]
                 have += take
+            self._logical_pos += have
             return b"".join(chunks)
 
     def readinto(self, buffer, offset: int = 0, count: int | None = None) -> int:
@@ -109,6 +113,42 @@ class ALACFileReader:
         data = self.read(count)
         buffer[offset : offset + len(data)] = data
         return len(data)
+
+    # -- stdlib io protocol (so the reader drops into BufferedReader,
+    # shutil.copyfileobj, wave-writer pipelines, ...) --------------------
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def tell(self) -> int:
+        return self._logical_pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        """Byte seek with os.SEEK_SET/CUR/END semantics.
+
+        Returns the requested position (reads resume exactly there thanks
+        to the mid-frame trim); note the ``position`` *property* instead
+        reports LastSampleNumber*BlockAlign for reference parity, which
+        parks at the bracketing frame's end after a reposition
+        (AlacContext.cs:278-283).
+        """
+        if whence == 0:
+            target = offset
+        elif whence == 1:
+            target = self._logical_pos + offset
+        elif whence == 2:
+            target = self._length + offset
+        else:
+            raise ValueError(f"invalid whence {whence}")
+        target = max(0, target)
+        self.position = target
+        return target
 
     def close(self) -> None:
         with self._lock:

@@ -193,3 +193,31 @@ class TestCli:
             got, _, _ = read_wav(f)
         half = (pcm.shape[0] * 4 // 2) // 4
         np.testing.assert_array_equal(got, pcm[half:])
+
+
+class TestReaderIoProtocol:
+    def test_stdlib_io_interop(self, stereo16):
+        """seek/tell/readable + shutil.copyfileobj compatibility."""
+        import shutil
+
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        assert r.readable() and r.seekable() and not r.writable()
+        assert r.seek(400) == 400
+        got = parse_pcm_bytes(r.read(40), 2, 2)
+        np.testing.assert_array_equal(got, pcm[100:110])
+        r.seek(0)
+        sink = io.BytesIO()
+        shutil.copyfileobj(r, sink, length=8192)
+        np.testing.assert_array_equal(
+            parse_pcm_bytes(sink.getvalue(), 2, 2), pcm
+        )
+
+    def test_seek_whence(self, stereo16):
+        pcm, data = stereo16
+        r = ALACFileReader(io.BytesIO(data))
+        r.seek(100)
+        assert r.seek(40, 1) == 140
+        assert r.seek(-4, 2) == r.length - 4
+        got = parse_pcm_bytes(r.read(10), 2, 2)
+        np.testing.assert_array_equal(got, pcm[-1:])
