@@ -43,6 +43,42 @@ def _cmd_decode(args) -> int:
     from .reader import ALACFileReader
 
     t0 = time.perf_counter()
+    if args.stream:
+        # Bounded-memory path: decode in resumable chunks and stream the
+        # WAV body, patching the RIFF sizes at the end.
+        import struct
+
+        from .batch import DecodeCursor, decode_resumable
+        from .pcm import format_pcm_bytes
+
+        cursor = DecodeCursor(args.path)
+        out_path = args.output or (args.path + ".wav")
+        nsamples = 0
+        with open(out_path, "wb") as f:
+            header_written = False
+            bps = 2
+            while not cursor.done:
+                part, cursor = decode_resumable(cursor, max_frames=args.stream)
+                if not header_written:
+                    rate, bits, ch = (
+                        part.sample_rate, part.bits_per_sample, part.channels,
+                    )
+                    bps = -(-bits // 8)
+                    write_wav(f, b"", rate, bits, ch)  # placeholder sizes
+                    header_written = True
+                f.write(format_pcm_bytes(part.pcm, bps))
+                nsamples += part.num_samples
+            data_len = nsamples * bps * ch
+            f.seek(4)
+            f.write(struct.pack("<I", 36 + data_len))
+            f.seek(40)
+            f.write(struct.pack("<I", data_len))
+        dt = time.perf_counter() - t0
+        print(
+            f"streamed {nsamples} samples ({ch}ch {bits}-bit {rate} Hz) "
+            f"to {out_path} in {dt:.3f}s"
+        )
+        return 0
     if args.seek_middle:
         # Exercise the streaming reader + mid-stream reposition, like the
         # reference demo (Program.cs:49).
@@ -167,6 +203,15 @@ def main(argv: list[str] | None = None) -> int:
         "--seek-middle",
         action="store_true",
         help="reposition to the stream middle first (demo parity)",
+    )
+    p.add_argument(
+        "--stream",
+        type=int,
+        nargs="?",
+        const=4096,
+        default=0,
+        metavar="FRAMES",
+        help="bounded-memory streaming decode, FRAMES frames per chunk",
     )
     p.set_defaults(fn=_cmd_decode)
 

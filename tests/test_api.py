@@ -221,3 +221,16 @@ class TestReaderIoProtocol:
         assert r.seek(-4, 2) == r.length - 4
         got = parse_pcm_bytes(r.read(10), 2, 2)
         np.testing.assert_array_equal(got, pcm[-1:])
+
+
+def test_cli_stream_decode(tmp_path, stereo16):
+    from alacnet_tpu.cli import main
+
+    pcm, data = stereo16
+    m4a = tmp_path / "s.m4a"
+    m4a.write_bytes(data)
+    wav = tmp_path / "s.wav"
+    assert main(["decode", str(m4a), str(wav), "--stream", "1"]) == 0
+    with open(wav, "rb") as f:
+        got, rate, bits = read_wav(f)
+    np.testing.assert_array_equal(got, pcm)
