@@ -239,8 +239,9 @@ struct BitWriter {
 constexpr int kRiceThreshold = 8;
 
 inline int clz32i(int32_t x) {
+  // Reference ladder semantics: clz(0) = 40 (AlacFile.cs:190).
   const uint32_t u = uint32_t(x);
-  return u == 0 ? 32 : __builtin_clz(u);
+  return u == 0 ? 40 : __builtin_clz(u);
 }
 
 inline int32_t trunc_div(int32_t a, int32_t b) { return a / b; }  // C++ == C#
@@ -356,7 +357,8 @@ void alac_predictor_errors(const int32_t* sig, int64_t n, int32_t* coefs,
     for (int32_t j = 0; j < order; ++j) {
       total = int32_t(total + int32_t((sig[base + order - j] - b0) * coefs[j]));
     }
-    const int32_t pred = int32_t((int32_t(1u << (quant - 1)) + total)) >> quant;
+    const int32_t pred =
+        int32_t((int32_t(1u << ((quant - 1) & 31)) + total)) >> quant;
     const int32_t error_val = center(int64_t(sig[i]) - pred - b0);
     errs[i] = error_val;
     if (error_val > 0) {

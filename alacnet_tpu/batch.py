@@ -170,15 +170,22 @@ def decode_resumable(
     """
     with open(cursor.path, "rb") as f:
         info = demux.parse(f)
-        f.seek(0)
-        blob = np.frombuffer(f.read(), np.uint8)
-    offsets = info.tables.frame_file_offsets()
-    sizes = info.tables.frame_byte_sizes
-    lo = cursor.next_frame
-    hi = min(lo + max_frames, len(offsets))
+        offsets = info.tables.frame_file_offsets()
+        sizes = info.tables.frame_byte_sizes
+        lo = cursor.next_frame
+        hi = min(lo + max_frames, len(offsets))
+        # Read only this chunk's byte range (bounded memory + I/O).
+        if hi > lo:
+            lo_byte = int(offsets[lo:hi].min())
+            hi_byte = int((offsets[lo:hi] + sizes[lo:hi]).max())
+            f.seek(lo_byte)
+            blob = np.frombuffer(f.read(hi_byte - lo_byte), np.uint8)
+        else:
+            lo_byte = 0
+            blob = np.zeros(0, np.uint8)
     out, n, status = decode_blob(
         blob,
-        offsets[lo:hi],
+        offsets[lo:hi] - lo_byte,
         sizes[lo:hi],
         info.params,
         info.params.max_samples_per_frame,

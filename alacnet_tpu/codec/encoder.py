@@ -101,8 +101,9 @@ class _RiceEncoder:
             raw = dv - self.sign_modifier
             if raw < 0:
                 # Only possible if x == 0 right after a zero-run, which the
-                # run-length construction below excludes.
-                raise AssertionError("encoder state desync: raw < 0")
+                # run-length construction below excludes (runs are never
+                # clamped: frames are capped at 65536 samples).
+                raise RuntimeError("encoder state desync: raw < 0")
             initial_k = 31 - self.kmod - clz32(i32((self.history >> 9) + 3))
             k = initial_k + self.kmod if initial_k < 0 else self.kmod
             self._emit_value(raw, self.rss, k, 0xFFFFFFFF)
@@ -258,6 +259,15 @@ class AlacEncoder:
             raise ValueError("encoder supports 16/24-bit (like the decoder)")
         if self.config.uncompressed_bytes and params.sample_size != 24:
             raise ValueError("extra-bits side channel requires 24-bit")
+        if params.max_samples_per_frame > 65536:
+            # Zero runs longer than 0xFFFF cannot always be represented by
+            # the 16-bit-domain block-size symbol with the standard rice
+            # parameters (AlacFile.cs:235-247); keeping frames <= 65536
+            # samples guarantees representability and losslessness.
+            raise ValueError(
+                "encoder supports max_samples_per_frame <= 65536 "
+                f"(got {params.max_samples_per_frame})"
+            )
 
     # -- frame encoding ------------------------------------------------------
 

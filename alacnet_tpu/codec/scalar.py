@@ -36,13 +36,16 @@ def trunc_div(a: int, b: int) -> int:
 
 
 def clz32(x: int) -> int:
-    """Count leading zeros of the 32-bit pattern of ``x``.
+    """Count leading zeros per the reference's byte ladder.
 
     Matches CountLeadingZeros/CountLeadingZerosExtra (AlacFile.cs:154-191)
-    for every int32 input, including negatives (top bit set -> 0).
+    for every int32 input: negatives (top bit set) give 0, and **zero
+    gives 40** — the ladder falls through all four bytes and returns
+    ``output + 8`` (AlacFile.cs:190), a quirk that changes the zero-run
+    k (16 vs 8) whenever the Rice history is exactly 0.
     """
     x &= _U32
-    return 32 - x.bit_length()
+    return 40 if x == 0 else 32 - x.bit_length()
 
 
 class BitReader:
@@ -230,7 +233,8 @@ def predictor_decompress_fir_adapt(
             total = i32(
                 total + i32((out[base + order - j] - out[base]) * coefs[j])
             )
-        outval = i32((1 << (quant - 1)) + total) >> quant
+        # C# shift counts are masked & 31 (quant == 0 -> 1 << 31).
+        outval = i32((1 << ((quant - 1) & 31)) + total) >> quant
         outval = signext(outval + out[base] + error_val)
         out[base + order + 1] = outval
         # Adaptive coefficient update (AlacFile.cs:312-332).

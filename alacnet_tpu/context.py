@@ -151,15 +151,23 @@ class AlacContext:
 
     # -- seek (AlacContext.cs:262-295) ----------------------------------------
 
-    def set_position(self, position: int) -> None:
+    def set_position(self, position: int, clamp_to_eof: bool = False) -> None:
         """Seek to an absolute PCM sample position.
 
-        Past-EOF positions leave the state unchanged, like the reference's
-        walk running off the table end.
+        By default past-EOF positions leave the state unchanged, like the
+        reference's walk running off the table end (AlacContext.cs:266-294
+        — subsequent reads then continue from the *old* position).
+        ``clamp_to_eof=True`` instead parks at end-of-stream so the next
+        read returns empty (the io-protocol behavior ALACFileReader.seek
+        needs).
         """
         with self._lock:
             frame, _, start, end = self._tables.locate_pcm_sample(int(position))
             if frame >= self.num_frames:
+                if clamp_to_eof:
+                    self._current_sample_block = self.num_frames
+                    self.last_sample_number = end
+                    self._offset_samples = 0
                 return
             self._current_sample_block = frame
             self.last_sample_number = end

@@ -33,8 +33,14 @@ _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
+#: -fwrapv: the encoder core relies on wrapping int32 arithmetic (the
+#: C#/i32 semantics the whole codec is specified in); without it signed
+#: overflow in the FIR products is UB under -O3.
+_BASE_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17", "-fwrapv"]
+
+
 def _build() -> pathlib.Path | None:
-    src = _SRC.read_bytes()
+    src = _SRC.read_bytes() + " ".join(_BASE_FLAGS).encode()
     tagged = hashlib.sha256(src).hexdigest()[:16]
     out = _CACHE / f"libalachost-{tagged}.so"
     if out.exists():
@@ -43,7 +49,7 @@ def _build() -> pathlib.Path | None:
     tmp = out.with_suffix(f".{os.getpid()}.tmp.so")
     for flags in (["-fopenmp"], []):  # openmp if available
         cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", *flags,
+            "g++", *_BASE_FLAGS, *flags,
             str(_SRC), "-o", str(tmp),
         ]
         try:
@@ -64,7 +70,9 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if os.environ.get("ALAC_NO_NATIVE"):
+        from .config import DEFAULT
+
+        if os.environ.get("ALAC_NO_NATIVE") or not DEFAULT.native:
             return None
         try:
             path = _build()

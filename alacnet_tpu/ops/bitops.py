@@ -15,12 +15,15 @@ U32 = jnp.uint32
 
 
 def clz32(x):
-    """Count leading zeros of the 32-bit pattern (AlacFile.cs:154-191).
+    """Count leading zeros per the reference ladder (AlacFile.cs:154-191).
 
-    Negative int32 inputs (top bit set) give 0; zero gives 32 — both match
-    the reference ladder.
+    Negative int32 inputs (top bit set) give 0; **zero gives 40** (the
+    ladder's fall-through ``output + 8``) — reachable at the zero-run k
+    when the Rice history is exactly 0 (e.g. ricemodifier 0 or a zero
+    initial history).
     """
-    return jax.lax.clz(x.astype(U32)).astype(I32)
+    c = jax.lax.clz(x.astype(U32)).astype(I32)
+    return jnp.where(x == 0, jnp.full_like(c, 40), c)
 
 
 def lsr(x, n):

@@ -112,16 +112,7 @@ def _raw_pcm(words, m: FrameMetaArrays, S: int):
     pos_a = m.payload_pos[:, None] + idx * stride
     raw_a = gather_bits(words, pos_a, ss[:, None]).astype(I32)
     raw_b = gather_bits(words, pos_a + ss[:, None], ss[:, None]).astype(I32)
-
-    def extend(v):
-        # ss <= 16: plain sign extension; ss > 16: the reference's
-        # hard-coded 24-bit (x ^ m) - m form (:512-521).
-        le16 = signext(v, ss[:, None])
-        mbit = 1 << 23
-        gt16 = ((v & 0xFFFFFF) ^ mbit) - mbit
-        return jnp.where((ss <= 16)[:, None], le16, gt16)
-
-    return extend(raw_a), extend(raw_b)
+    return _extend_raw(raw_a, m), _extend_raw(raw_b, m)
 
 
 def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
@@ -265,9 +256,12 @@ def decode_frames(
     right = jnp.where(use_w, right_w, b)
 
     # ---- extra-bits merge (:381-395,549-554) ----
+    # The reference merges the side channel only in the 24-bit output
+    # paths; 16-bit output ignores parsed extra bits (AlacFile.cs:529-543
+    # vs :544-566).
     ub8 = jnp.where(m.is_compressed, m.ub * 8, 0)[:, None]
     mask = shl(jnp.full_like(ub8, -1), ub8) ^ jnp.full_like(ub8, -1)
-    has_extra = ub8 > 0
+    has_extra = (ub8 > 0) & (m.sample_size > 16)[:, None]
     left = jnp.where(has_extra, shl(left, ub8) | (extra_a & mask), left)
     right = jnp.where(
         has_extra & m.is_stereo[:, None],

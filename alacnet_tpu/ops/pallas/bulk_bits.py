@@ -34,6 +34,7 @@ from .rice_lpc import (
     U32,
     WORDS_VMEM_BUDGET,
     _window32,
+    make_fetch_words,
 )
 
 #: params rows
@@ -53,24 +54,7 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
     stride = n1 + n2
     cp.wait()
 
-    def fetch_words(wp, live, K: int):
-        wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
-        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
-        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
-        acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
-
-        def body(g, acc):
-            tile = wvmem[g].reshape(8, sub * LN)
-            out = []
-            for k in range(K):
-                o = (wps[k] & 7).reshape(1, sub * LN)
-                idx = jnp.broadcast_to(o, (8, sub * LN))
-                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
-                got = got.reshape(sub, LN).astype(U32)
-                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
-            return out
-
-        return jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
+    fetch_words = make_fetch_words(wvmem, W8, sub)
 
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))

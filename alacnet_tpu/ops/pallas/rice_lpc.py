@@ -97,8 +97,38 @@ def _bits(R, roff, off, n):
     return (x >> ((32 - n) & 31)).astype(U32)
 
 
+def make_fetch_words(wvmem, W8: int, sub: int):
+    """Group-sweep word fetcher over a VMEM-resident (W8, 8, sub, 128)
+    table: fetch_words(wp, live, K) -> K (sub,128) uint32 words at
+    per-lane indices wp..wp+K-1, sweeping only the group range live lanes
+    need (one hardware sublane-gather per group per word)."""
+
+    def fetch_words(wp, live, K: int):
+        wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
+        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
+        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
+        acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
+
+        def body(g, acc):
+            tile = wvmem[g].reshape(8, sub * LN)
+            out = []
+            for k in range(K):
+                o = (wps[k] & 7).reshape(1, sub * LN)
+                idx = jnp.broadcast_to(o, (8, sub * LN))
+                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
+                got = got.reshape(sub, LN).astype(U32)
+                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
+            return out
+
+        return jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
+
+    return fetch_words
+
+
 def _clz32(x):
-    return jax.lax.clz(x.astype(U32)).astype(I32)
+    # Reference ladder semantics: clz(0) = 40 (AlacFile.cs:190).
+    c = jax.lax.clz(x.astype(U32)).astype(I32)
+    return jnp.where(x == 0, jnp.full_like(c, 40), c)
 
 
 def _sra(x, n):
@@ -160,30 +190,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
 
     cp.wait()
 
-    def fetch_words(wp, live, K: int):
-        """Fetch words wp..wp+K-1 per live lane via a group sweep.
-
-        wp: (8,128) word indices (clamped to table); returns K (8,128)
-        uint32 words.  Sweep covers [min_g, max_g] over live lanes.
-        """
-        wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
-        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
-        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
-        acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
-
-        def body(g, acc):
-            tile = wvmem[g].reshape(8, sub * LN)  # (8 words, sub*128 lanes)
-            out = []
-            for k in range(K):
-                o = (wps[k] & 7).reshape(1, sub * LN)
-                idx = jnp.broadcast_to(o, (8, sub * LN))
-                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
-                got = got.reshape(sub, LN).astype(U32)
-                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
-            return out
-
-        acc = jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
-        return acc
+    fetch_words = make_fetch_words(wvmem, W8, sub)
 
     # ---- reservoir init: R = words[wp0 .. wp0+4) ----
     live0 = n > 0

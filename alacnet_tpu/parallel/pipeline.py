@@ -62,15 +62,27 @@ FUSED_MAX_WORDS = 2900  # words (~11.9 MB table at 1024 lanes)
 
 
 def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
-    """Decide Pallas-vs-XLA and the static adaptive-walk bound."""
+    """Decide Pallas-vs-XLA and the static adaptive-walk bound.
+
+    config.DEFAULT.kernel: "xla" forces the scan path; "fused" requires
+    the structural constraints but skips the backend==tpu check (e.g. for
+    interpreter experiments); "auto" is tpu-and-eligible.
+    """
     import jax
 
-    use = (
-        jax.default_backend() == "tpu"
-        and fb.batch % FUSED_MIN_BATCH == 0
+    from ..config import DEFAULT
+
+    eligible = (
+        fb.batch % FUSED_MIN_BATCH == 0
         and fb.words.shape[1] % 8 == 0
         and fb.words.shape[1] <= FUSED_MAX_WORDS
     )
+    if DEFAULT.kernel == "xla":
+        use = False
+    elif DEFAULT.kernel == "fused":
+        use = eligible
+    else:
+        use = eligible and jax.default_backend() == "tpu"
     orders = fb.order[fb.order != 31]
     max_order = int(orders.max()) if orders.size else 0
     return use, max_order
@@ -83,10 +95,12 @@ def dispatch_frame_batch(fb: FrameBatch, max_samples: int):
     batch on the host while the device decodes this one (the host->device
     pipeline stage overlap, SURVEY.md §2.5 "PP").
     """
+    from ..config import DEFAULT
+
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
     use_fused, max_order = _fused_plan(fb)
-    emit16 = bool((fb.sample_size == 16).all())
+    emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     meta = FrameMetaArrays.from_batch(fb)
     out, n = decode_frames(
         jnp.asarray(fb.words),

@@ -147,7 +147,14 @@ class ALACFileReader:
         else:
             raise ValueError(f"invalid whence {whence}")
         target = max(0, target)
-        self.position = target
+        with self._lock:
+            # Unlike the reference-parity position setter, io seek must
+            # park at EOF for past-end targets (read() then returns b"").
+            self._context.set_position(
+                target // self._wave_format.block_align, clamp_to_eof=True
+            )
+            self._leftover = b""
+            self._logical_pos = target
         return target
 
     def close(self) -> None:

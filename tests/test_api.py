@@ -234,3 +234,13 @@ def test_cli_stream_decode(tmp_path, stereo16):
     with open(wav, "rb") as f:
         got, rate, bits = read_wav(f)
     np.testing.assert_array_equal(got, pcm)
+
+
+def test_seek_to_eof_reads_empty(stereo16):
+    _, data = stereo16
+    r = ALACFileReader(io.BytesIO(data))
+    r.read(64)
+    assert r.seek(0, 2) == r.length
+    assert r.read(100) == b""
+    assert r.seek(r.length + 999) == r.length + 999
+    assert r.read(1) == b""

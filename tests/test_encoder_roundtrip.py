@@ -62,3 +62,45 @@ def test_compression_is_real():
     pcm = tone(4096 * 4, 2, 16)
     data = encode_to_bytes(pcm, 44100, 16)
     assert len(data) < pcm.size * 2 * 0.8
+
+
+def test_zero_history_kz_quirk_roundtrip():
+    """Initial history 0 + a leading zero sample drives the zero-run k
+    through clz(0) — 40 in the reference's ladder (AlacFile.cs:190), so
+    k=16, not the 8 a plain 32-bit clz would give. Round-trips only if
+    encoder, oracle and device decoders all honor the quirk."""
+    import dataclasses
+
+    import numpy as np
+
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+    from .corpus import tone
+
+    params = dataclasses.replace(
+        default_cookie(44100, 16, 2, max_samples_per_frame=256),
+        rice_initial_history=0,
+    )
+    pcm = tone(256, 2, 16)
+    pcm[:4] = 0  # leading zeros with h=0 trigger the kz=clz(0) path
+    pcm[100:130] = 0
+    enc = AlacEncoder(params, EncoderConfig(order=4))
+    payload = enc.encode_frame(pcm)
+
+    # oracle
+    from alacnet_tpu.codec.scalar import AlacFrameDecoder
+
+    dec = AlacFrameDecoder(params, 2)
+    out = [0] * (256 * 2)
+    dec.decode_frame(payload, out)
+    np.testing.assert_array_equal(
+        np.array(out, np.int32).reshape(-1, 2), pcm
+    )
+
+    # device path
+    from alacnet_tpu.codec.framemeta_vec import parse_frame_headers_vec
+    from alacnet_tpu.parallel.pipeline import decode_frame_batch
+
+    fb = parse_frame_headers_vec([payload], params)
+    dev, n = decode_frame_batch(fb, 256)
+    np.testing.assert_array_equal(dev[0, : n[0], :2], pcm)

@@ -41,7 +41,10 @@ class TestHelpers:
         assert trunc_div(-84, 64) == -1
 
     def test_clz32(self):
-        assert clz32(0) == 32
+        # The reference ladder falls through to `output + 8` for zero
+        # (AlacFile.cs:190): clz(0) = 40, which makes the zero-run k 16
+        # when history is exactly 0.
+        assert clz32(0) == 40
         assert clz32(1) == 31
         assert clz32(3) == 30
         assert clz32(0x00012345) == 15
@@ -188,3 +191,23 @@ class TestFormatSamples:
 
     def test_bps3_passthrough(self):
         assert format_samples(3, [1, 2, 3], 3) == bytes([1, 2, 3])
+
+
+class TestZeroHistoryQuirk:
+    def test_zero_run_k_with_zero_history(self):
+        """history == 0 at the zero-run check: the reference ladder gives
+        clz(0) = 40 (AlacFile.cs:190), so k = 40 + (16/64) - 24 = 16 — not
+        the 8 a plain 32-bit clz would produce. Hand-derived stream with
+        inithist=0, mult=40, kmod=14:
+          "0"                 -> dv=0, out 0; h stays 0 -> zero-run check
+          "0"+16x"...11" (k=16, m=min(2^16-1, kmask)=16383):
+                unary x=0, extra=3 -> blockSize = 2 -> two zeros, sm=1
+          "0"                 -> raw 0 + sm = dv 1 -> out -1
+        A k=8 (clz(0)=32) decoder would read only 8 extra bits and
+        desynchronize.
+        """
+        out = [99] * 4
+        r = BitReader(bits_to_bytes("0" + "0" + "0000000000000011" + "0"))
+        entropy_rice_decode(r, out, 4, 16, 0, 14, 40, (1 << 14) - 1)
+        assert out == [0, 0, 0, -1]
+        assert r.bitpos == 1 + 1 + 16 + 1
