@@ -51,21 +51,23 @@ def _cmd_decode(args) -> int:
         from .batch import DecodeCursor, decode_resumable
         from .pcm import format_pcm_bytes
 
+        from .container import demux
+
+        # Stream metadata up front (not from the first decoded chunk):
+        # a zero-frame file must still produce a valid empty WAV.
+        with open(args.path, "rb") as src:
+            info = demux.parse(src)
+        rate = info.sample_rate_or_default()
+        bits = info.bits_per_sample_or_default()
+        ch = info.num_channels_or_default()
+        bps = -(-bits // 8)
         cursor = DecodeCursor(args.path)
         out_path = args.output or (args.path + ".wav")
         nsamples = 0
         with open(out_path, "wb") as f:
-            header_written = False
-            bps = 2
+            write_wav(f, b"", rate, bits, ch)  # placeholder sizes
             while not cursor.done:
                 part, cursor = decode_resumable(cursor, max_frames=args.stream)
-                if not header_written:
-                    rate, bits, ch = (
-                        part.sample_rate, part.bits_per_sample, part.channels,
-                    )
-                    bps = -(-bits // 8)
-                    write_wav(f, b"", rate, bits, ch)  # placeholder sizes
-                    header_written = True
                 f.write(format_pcm_bytes(part.pcm, bps))
                 nsamples += part.num_samples
             data_len = nsamples * bps * ch

@@ -136,6 +136,10 @@ class SampleTables:
         per_chunk = self.frames_per_chunk()
         total = int(per_chunk.sum())
         nframes = self.num_frames
+        if nframes == 0:
+            empty = np.zeros(0, np.int64)
+            object.__setattr__(self, "_frame_offsets_cache", empty)
+            return empty
         if total < nframes:
             raise SampleReadError(
                 f"chunk tables cover {total} frames, stsz has {nframes}"

@@ -120,6 +120,11 @@ class AlacContext:
             try:
                 duration = self._tables.frame_duration(block)
             except SampleReadError:
+                # Park at EOF: the reference's stts walk failure yields a
+                # 0-byte read and its caller stops (AlacContext.cs:182-193).
+                # Without advancing, read_all() on an stts-undercovered
+                # file would spin forever re-reading the same frame.
+                self._current_sample_block = self.num_frames
                 return np.zeros((0, self.get_num_channels()), np.int32)
             samples = self._frame_samples(block)
             self._current_sample_block = block + 1

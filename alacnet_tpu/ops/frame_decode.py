@@ -50,28 +50,37 @@ class FrameMetaArrays(NamedTuple):
     kmask: jax.Array
 
     @classmethod
-    def from_batch(cls, fb) -> "FrameMetaArrays":
-        return cls(
-            is_stereo=jnp.asarray(fb.is_stereo),
-            is_compressed=jnp.asarray(fb.is_compressed),
-            n_samples=jnp.asarray(fb.n_samples, dtype=I32),
-            sample_size=jnp.asarray(fb.sample_size, dtype=I32),
-            ub=jnp.asarray(fb.ub, dtype=I32),
-            rss=jnp.asarray(fb.rss, dtype=I32),
-            interlacing_shift=jnp.asarray(fb.interlacing_shift, dtype=I32),
-            interlacing_leftweight=jnp.asarray(
-                fb.interlacing_leftweight, dtype=I32
-            ),
-            payload_pos=jnp.asarray(fb.payload_pos, dtype=I32),
-            entropy_pos=jnp.asarray(fb.entropy_pos, dtype=I32),
-            order=jnp.asarray(fb.order, dtype=I32),
-            quant=jnp.asarray(fb.quant, dtype=I32),
-            rice_mult=jnp.asarray(fb.rice_mult, dtype=I32),
-            rc=jnp.asarray(fb.rc, dtype=I32),
-            kmod=jnp.asarray(fb.kmod, dtype=I32),
-            init_history=jnp.asarray(fb.init_history, dtype=I32),
-            kmask=jnp.asarray(fb.kmask, dtype=I32),
+    def host_arrays(cls, fb) -> tuple:
+        """Host-side (NumPy) field tuple in declaration order.
+
+        Used by the sharding layer to ``device_put`` straight to target
+        shards without committing anything to the default device first.
+        """
+        import numpy as np
+
+        return (
+            np.asarray(fb.is_stereo),
+            np.asarray(fb.is_compressed),
+            np.asarray(fb.n_samples, dtype=np.int32),
+            np.asarray(fb.sample_size, dtype=np.int32),
+            np.asarray(fb.ub, dtype=np.int32),
+            np.asarray(fb.rss, dtype=np.int32),
+            np.asarray(fb.interlacing_shift, dtype=np.int32),
+            np.asarray(fb.interlacing_leftweight, dtype=np.int32),
+            np.asarray(fb.payload_pos, dtype=np.int32),
+            np.asarray(fb.entropy_pos, dtype=np.int32),
+            np.asarray(fb.order, dtype=np.int32),
+            np.asarray(fb.quant, dtype=np.int32),
+            np.asarray(fb.rice_mult, dtype=np.int32),
+            np.asarray(fb.rc, dtype=np.int32),
+            np.asarray(fb.kmod, dtype=np.int32),
+            np.asarray(fb.init_history, dtype=np.int32),
+            np.asarray(fb.kmask, dtype=np.int32),
         )
+
+    @classmethod
+    def from_batch(cls, fb) -> "FrameMetaArrays":
+        return cls(*(jnp.asarray(x) for x in cls.host_arrays(fb)))
 
 
 def _extra_bits(words, m: FrameMetaArrays, S: int):

@@ -31,12 +31,18 @@ def make_mesh(devices=None) -> Mesh:
 
 
 def shard_frame_batch(fb, mesh: Mesh):
-    """Place a padded FrameBatch onto the mesh, lane axis sharded."""
+    """Place a padded FrameBatch onto the mesh, lane axis sharded.
+
+    The host NumPy arrays go straight to their target shards
+    (``device_put(np_array, sharding)``) — no ``jnp.asarray`` detour,
+    which would first commit every array to the *default* device (a
+    wasted full-batch H2D + reshard on a real mesh, and a crash when the
+    default platform's runtime is broken — the MULTICHIP_r01 failure).
+    """
     sh = NamedSharding(mesh, P(FRAME_AXIS))
-    words = jax.device_put(jnp.asarray(fb.words), sh)
-    meta = FrameMetaArrays.from_batch(fb)
+    words = jax.device_put(np.ascontiguousarray(fb.words), sh)
     meta = FrameMetaArrays(
-        *(jax.device_put(x, NamedSharding(mesh, P(FRAME_AXIS))) for x in meta)
+        *(jax.device_put(x, sh) for x in FrameMetaArrays.host_arrays(fb))
     )
     return words, meta
 

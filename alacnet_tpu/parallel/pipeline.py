@@ -163,7 +163,7 @@ def decode_blob(
 
     def drain_one():
         out_d, n_d, orig_b, frames, nbytes, status = pending.pop(0)
-        with trace_span("alac.device.decode", "device_seconds"):
+        with trace_span("alac.device.result_wait", "result_wait_seconds"):
             out = np.asarray(out_d[:orig_b])
             n = np.asarray(n_d[:orig_b])
         GLOBAL_STATS.record(

@@ -7,7 +7,8 @@ The reference's only observability is conditional ``Debug.WriteLine``
     ``jax.profiler.TraceAnnotation`` so device timelines captured with
     ``start_trace`` show the pipeline stages;
   * ``DecodeStats`` — process-wide counters (frames, samples, bytes,
-    device/host seconds) with Msamples/s derivation;
+    host-parse seconds and device-result *wait* seconds) with Msamples/s
+    derivation;
   * ``capture_trace`` — context manager around
     ``jax.profiler.start_trace/stop_trace`` for one-off captures.
 """
@@ -30,7 +31,11 @@ class DecodeStats:
     frames: int = 0
     samples: int = 0
     coded_bytes: int = 0
-    device_seconds: float = 0.0
+    #: Host wall-clock spent *blocked on* device results (the np.asarray
+    #: sync).  Includes D2H transfer — on a tunneled/axon chip that
+    #: dominates; it is NOT pure device compute time (use
+    #: ``capture_trace`` for an on-device timeline).
+    result_wait_seconds: float = 0.0
     host_seconds: float = 0.0
     dispatches: int = 0
 
@@ -42,20 +47,20 @@ class DecodeStats:
         frames: int = 0,
         samples: int = 0,
         coded_bytes: int = 0,
-        device_seconds: float = 0.0,
+        result_wait_seconds: float = 0.0,
         host_seconds: float = 0.0,
     ) -> None:
         with self._lock:
             self.frames += frames
             self.samples += samples
             self.coded_bytes += coded_bytes
-            self.device_seconds += device_seconds
+            self.result_wait_seconds += result_wait_seconds
             self.host_seconds += host_seconds
             self.dispatches += 1
 
     @property
     def msamples_per_second(self) -> float:
-        t = self.device_seconds + self.host_seconds
+        t = self.result_wait_seconds + self.host_seconds
         return self.samples / t / 1e6 if t > 0 else 0.0
 
     def snapshot(self) -> dict:
@@ -64,7 +69,7 @@ class DecodeStats:
                 "frames": self.frames,
                 "samples": self.samples,
                 "coded_bytes": self.coded_bytes,
-                "device_seconds": round(self.device_seconds, 6),
+                "result_wait_seconds": round(self.result_wait_seconds, 6),
                 "host_seconds": round(self.host_seconds, 6),
                 "dispatches": self.dispatches,
                 "msamples_per_second": round(self.msamples_per_second, 3),
@@ -73,7 +78,7 @@ class DecodeStats:
     def reset(self) -> None:
         with self._lock:
             self.frames = self.samples = self.coded_bytes = 0
-            self.device_seconds = self.host_seconds = 0.0
+            self.result_wait_seconds = self.host_seconds = 0.0
             self.dispatches = 0
 
 
@@ -85,8 +90,8 @@ GLOBAL_STATS = DecodeStats()
 def trace_span(name: str, stats_field: str | None = None):
     """Wall-clock + device-timeline span.
 
-    ``stats_field``: 'device_seconds' or 'host_seconds' to accumulate the
-    elapsed time into GLOBAL_STATS.
+    ``stats_field``: 'result_wait_seconds' or 'host_seconds' to
+    accumulate the elapsed time into GLOBAL_STATS.
     """
     import jax.profiler
 
@@ -95,8 +100,8 @@ def trace_span(name: str, stats_field: str | None = None):
         yield
     dt = time.perf_counter() - t0
     logger.debug("span %s: %.3f ms", name, dt * 1e3)
-    if stats_field == "device_seconds":
-        GLOBAL_STATS.record(device_seconds=dt)
+    if stats_field == "result_wait_seconds":
+        GLOBAL_STATS.record(result_wait_seconds=dt)
     elif stats_field == "host_seconds":
         GLOBAL_STATS.record(host_seconds=dt)
 

