@@ -278,6 +278,15 @@ def decode_frames(
         right,
     )
 
+    # 24-bit output is a 3-byte layout: Deinterlace24 truncates each value
+    # to its low 24 bits when writing bytes (AlacFile.cs:390-395,558-562).
+    # Reproduce that value domain (sign-extended from bit 23) — reachable
+    # only when ub >= 2 or extreme decorrelation pushes past 24 bits.
+    is24 = (m.sample_size > 16)[:, None]
+    eight = jnp.full_like(ub8, 8)
+    left = jnp.where(is24, sra(shl(left, eight), eight), left)
+    right = jnp.where(is24, sra(shl(right, eight), eight), right)
+
     # mono lanes: silent channel 1 (:536-540,563-565); mask the tail.
     live = jnp.arange(S, dtype=I32)[None, :] < n[:, None]
     left = jnp.where(live, left, 0)
