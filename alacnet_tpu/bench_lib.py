@@ -2,11 +2,24 @@
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
 >= 1000x realtime per chip for 44.1 kHz/16-bit stereo batch decode
-(~88.2 Msamples/s, BASELINE.json).  This harness synthesizes a realistic
-compressed corpus (adaptive order-6 FIR, music-like spectra — the
-expensive decode path), tiles it to the requested flight size, and times
-the full device pipeline (header parse excluded; it is benchmarked and
-reported separately as the host-side stage).
+(~88.2 Msamples/s, BASELINE.json).  Two measurements:
+
+  * :func:`run_benchmark` — device-stage throughput for one corpus kind
+    (kernel time only; inputs pre-staged).
+  * :func:`run_e2e_benchmark` — sustained production pipeline through
+    ``decode_blob``: native C++ header parse -> H2D -> fused device
+    decode, host stage overlapped with device decode, over a mixed
+    corpus (music/escape-heavy/zero-run/mixed-order/partial frames) so
+    the size-sorted bucketing actually runs.  PCM is consumed on-device
+    (``sink=``, checksum) — the decode-to-device path; the axon tunnel's
+    ~0.3 MB/s D2H is an environment artifact, not a pipeline property.
+
+Corpus kinds cover the kernel's divergence extremes (VERDICT r1 weak #5):
+``music`` (order-6 adaptive FIR — the expensive common case), ``spiky``
+(escape-heavy: low Rice history + outliers force the 9-ones + raw-rss
+escape, AlacFile.cs:196-202), ``silence`` (zero-run blocks,
+AlacFile.cs:231-249), ``orders`` (orders 0/1/4/8/31 mixed with partial
+frames, so frame byte sizes vary).
 """
 
 from __future__ import annotations
@@ -16,8 +29,8 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from .codec.encoder import AlacEncoder, EncoderConfig
 from .codec.cookie import default_cookie
+from .codec.encoder import AlacEncoder, EncoderConfig
 from .codec.framemeta_vec import parse_frame_headers_vec as parse_frame_headers
 from .ops.frame_decode import FrameMetaArrays, decode_frames
 from .parallel.pipeline import pad_frame_batch
@@ -25,18 +38,10 @@ from .parallel.pipeline import pad_frame_batch
 #: North-star: 1000x realtime, 44.1 kHz stereo (BASELINE.json).
 NORTH_STAR_MSAMPLES = 88.2
 
+CORPUS_KINDS = ("music", "spiky", "silence", "orders")
 
-def make_corpus_frames(
-    num_distinct: int = 32,
-    frame_samples: int = 4096,
-    bits: int = 16,
-    channels: int = 2,
-    order: int = 6,
-    seed: int = 42,
-) -> tuple[list[bytes], "object"]:
-    """Encode ``num_distinct`` music-like frames; returns (payloads, params)."""
-    rng = np.random.default_rng(seed)
-    n = num_distinct * frame_samples
+
+def _music_pcm(n: int, bits: int, channels: int, rng) -> np.ndarray:
     t = np.arange(n)
     amp = (1 << (bits - 1)) * 0.12
     chans = []
@@ -49,14 +54,88 @@ def make_corpus_frames(
         )
         chans.append(sig)
     lim = 1 << (bits - 1)
-    pcm = np.clip(np.stack(chans, axis=1), -lim, lim - 1).astype(np.int32)
+    return np.clip(np.stack(chans, axis=1), -lim, lim - 1).astype(np.int32)
+
+
+def make_kind_frames(
+    kind: str,
+    num_distinct: int,
+    frame_samples: int,
+    params,
+    bits: int = 16,
+    channels: int = 2,
+    seed: int = 42,
+) -> list[bytes]:
+    """Encode ``num_distinct`` distinct frames of one corpus kind."""
+    rng = np.random.default_rng(seed)
+    n = num_distinct * frame_samples
+    lim = 1 << (bits - 1)
+    if kind == "music":
+        pcm = _music_pcm(n, bits, channels, rng)
+        orders, sizes = [6], [frame_samples]
+    elif kind == "spiky":
+        # Mostly-small residuals keep Rice history (and k) low; outlier
+        # spikes then overflow the unary budget -> escape path.
+        # Spike rate tuned so coded frames stay under the fused kernel's
+        # VMEM word cap (pipeline.FUSED_MAX_WORDS) — denser spikes push
+        # the batch onto the XLA fallback, which benches the wrong path.
+        pcm = rng.integers(-40, 40, (n, channels)).astype(np.int32)
+        spikes = rng.random((n, channels)) < 0.01
+        pcm = np.where(
+            spikes, rng.integers(-lim, lim, (n, channels)), pcm
+        ).astype(np.int32)
+        orders, sizes = [4], [frame_samples]
+    elif kind == "silence":
+        pcm = np.zeros((n, channels), np.int32)
+        idx = rng.integers(0, n, max(1, n // 2048))
+        pcm[idx, 0] = rng.integers(1, 1000, idx.size)
+        orders, sizes = [4], [frame_samples]
+    elif kind == "orders":
+        # Quiet content: order-0 passthrough codes the raw residual, so
+        # loud PCM would produce pathological frame sizes no real encoder
+        # emits (it would pick a higher order or a raw frame instead).
+        pcm = (_music_pcm(n, bits, channels, rng) / 64).astype(np.int32)
+        orders = [0, 1, 4, 8, 31]
+        sizes = [frame_samples, frame_samples // 2, frame_samples // 4]
+    else:
+        raise ValueError(f"unknown corpus kind {kind!r}")
+    payloads = []
+    encs = [AlacEncoder(params, EncoderConfig(order=o)) for o in orders]
+    pos = 0
+    for i in range(num_distinct):
+        sz = sizes[i % len(sizes)]
+        if pos + sz > n:
+            pos = 0
+        payloads.append(encs[i % len(encs)].encode_frame(pcm[pos : pos + sz]))
+        pos += sz
+    return payloads
+
+
+def make_corpus_frames(
+    num_distinct: int = 32,
+    frame_samples: int = 4096,
+    bits: int = 16,
+    channels: int = 2,
+    order: int = 6,
+    seed: int = 42,
+    kind: str = "music",
+) -> tuple[list[bytes], "object"]:
+    """Encode ``num_distinct`` frames of one kind; returns (payloads, params)."""
     params = default_cookie(44100, bits, channels, frame_samples)
-    enc = AlacEncoder(params, EncoderConfig(order=order))
-    payloads = [
-        enc.encode_frame(pcm[i * frame_samples : (i + 1) * frame_samples])
-        for i in range(num_distinct)
-    ]
-    return payloads, params
+    if kind == "music" and order != 6:
+        rng = np.random.default_rng(seed)
+        pcm = _music_pcm(num_distinct * frame_samples, bits, channels, rng)
+        enc = AlacEncoder(params, EncoderConfig(order=order))
+        return [
+            enc.encode_frame(pcm[i * frame_samples : (i + 1) * frame_samples])
+            for i in range(num_distinct)
+        ], params
+    return (
+        make_kind_frames(
+            kind, num_distinct, frame_samples, params, bits, channels, seed
+        ),
+        params,
+    )
 
 
 def run_benchmark(
@@ -67,16 +146,23 @@ def run_benchmark(
     frame_samples: int = 4096,
     repeats: int = 3,
     include_host: bool = False,
+    kind: str = "music",
+    payloads: list[bytes] | None = None,
+    params=None,
 ) -> dict:
-    """Time batched decode; returns the bench.py JSON record."""
+    """Time batched device decode; returns the bench JSON record."""
     if seconds_of_audio:
         batch = max(1, int(seconds_of_audio * 44100 / frame_samples))
-    distinct, params = make_corpus_frames(
-        num_distinct=min(batch, 32),
-        frame_samples=frame_samples,
-        bits=bits,
-        channels=channels,
-    )
+    if payloads is None:
+        distinct, params = make_corpus_frames(
+            num_distinct=min(batch, 32),
+            frame_samples=frame_samples,
+            bits=bits,
+            channels=channels,
+            kind=kind,
+        )
+    else:
+        distinct = payloads
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
 
     t0 = time.perf_counter()
@@ -140,11 +226,10 @@ def run_benchmark(
         best += host_parse_s
     msps = total_samples / best / 1e6
     realtime = msps * 1e6 / 44100.0
-    import jax
 
     return {
-        "metric": "decode throughput (44.1kHz/%d-bit %dch, order-6 adaptive FIR)"
-        % (bits, channels),
+        "metric": "decode throughput (44.1kHz/%d-bit %dch, %s corpus)"
+        % (bits, channels, kind),
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / NORTH_STAR_MSAMPLES, 4),
@@ -156,4 +241,194 @@ def run_benchmark(
         "backend": jax.default_backend(),
         "fused_kernel": use_fused,
         "parity_ok": parity_ok,
+    }
+
+
+def _mixed_pool(
+    frame_samples: int, bits: int, distinct_per_kind: int = 12, seed: int = 7
+):
+    """Distinct frames across all corpus kinds + their params."""
+    params = default_cookie(44100, bits, 2, frame_samples)
+    pool = []
+    for k, kind in enumerate(CORPUS_KINDS):
+        pool.extend(
+            make_kind_frames(
+                kind, distinct_per_kind, frame_samples, params, bits,
+                seed=seed + 13 * k,
+            )
+        )
+    return pool, params
+
+
+def run_e2e_benchmark(
+    total_frames: int = 3 * 4096,
+    frame_samples: int = 4096,
+    bits: int = 16,
+    batch_limit: int = 4096,
+    repeats: int = 2,
+    seed: int = 7,
+) -> dict:
+    """Sustained production-pipeline throughput through ``decode_blob``.
+
+    Wall-clock includes: native header parse (host), H2D staging, fused
+    device decode — host stage of batch k+1 overlapped with device decode
+    of batch k (the <=2-in-flight pipeline).  Output PCM is consumed
+    on-device via ``sink`` (checksum); the sum of per-frame sample counts
+    is read back and used as the throughput numerator.
+    """
+    import jax
+
+    from .parallel.pipeline import decode_blob
+    from .utils.observability import GLOBAL_STATS
+
+    pool, params = _mixed_pool(frame_samples, bits, seed=seed)
+    rng = np.random.default_rng(seed)
+
+    def build(order_seed: int):
+        idx = rng.permutation(
+            np.repeat(np.arange(len(pool)), -(-total_frames // len(pool)))[
+                :total_frames
+            ]
+        )
+        payloads = [pool[i] for i in idx]
+        sizes = np.array([len(p) for p in payloads], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        blob = np.frombuffer(b"".join(payloads), np.uint8)
+        return blob, offsets, sizes
+
+    @jax.jit
+    def _account(n, acc):
+        return acc + jnp.sum(n)
+
+    def timed_run(blob, offsets, sizes):
+        # Device-side accumulation, ONE op per batch and one scalar
+        # readback at the end: over the axon tunnel every dispatch and
+        # readback costs a ~30 ms round trip.  The per-frame n comes out
+        # of the same executable as the PCM, so blocking on the
+        # accumulated count forces every decode to completion.
+        acc = {"n": jnp.zeros((), jnp.int32)}
+
+        def sink(out, n, orig_b):
+            acc["n"] = _account(n[:orig_b], acc["n"])
+
+        t0 = time.perf_counter()
+        _, _, status = decode_blob(
+            blob, offsets, sizes, params, frame_samples,
+            batch_limit=batch_limit, sink=sink,
+        )
+        total = int(acc["n"].item())  # blocks on all decode work
+        dt = time.perf_counter() - t0
+        assert not status.any(), "e2e bench corpus must parse cleanly"
+        return total, dt
+
+    def _stage(blob, offsets, sizes):
+        from .codec.framemeta_vec import parse_frame_headers_blob
+        from .ops.frame_decode import FrameMetaArrays
+        from .parallel.pipeline import (
+            WORD_BUCKET, _fused_plan, pad_frame_batch,
+        )
+
+        perm = np.argsort(sizes, kind="stable")
+        offs, szs = offsets[perm], sizes[perm]
+        staged = []
+        for lo in range(0, len(offs), batch_limit):
+            hi = min(lo + batch_limit, len(offs))
+            fb = parse_frame_headers_blob(
+                blob, offs[lo:hi], szs[lo:hi], params,
+                nwords_multiple=WORD_BUCKET,
+            )
+            fb = pad_frame_batch(fb)
+            use_fused, max_order = _fused_plan(fb)
+            staged.append(
+                (jnp.asarray(fb.words), FrameMetaArrays.from_batch(fb),
+                 use_fused, max_order)
+            )
+        jax.block_until_ready([s[0] for s in staged])
+        return staged
+
+    def _decode_staged(staged):
+        from .ops.frame_decode import decode_frames
+
+        acc = jnp.zeros((), jnp.int32)
+        for w, mv, uf, mo in staged:
+            _, n = decode_frames(w, mv, frame_samples, use_fused=uf, max_order=mo)
+            acc = _account(n, acc)
+        acc.block_until_ready()
+
+    def staged_device_run(warm_corpus, timed_corpus):
+        """Device-stage time for the identical sorted batches, inputs
+        pre-staged: what the pipeline costs on a host whose H2D/dispatch
+        isn't tunneled (the axon relay adds ~30 ms per dispatch and
+        ~0.5 GB/s H2D, neither a property of the pipeline).  Distinct
+        warm/timed corpora — identical repeated dispatches can be
+        memoized by the relay."""
+        _decode_staged(_stage(*warm_corpus))
+        staged = _stage(*timed_corpus)
+        t0 = time.perf_counter()
+        _decode_staged(staged)
+        return time.perf_counter() - t0
+
+    # Warm-up: compiles every (bucket-width, order) executable.
+    timed_run(*build(0))
+    best_dt, total = float("inf"), 0
+    host_s = float("inf")  # min across repeats: steady-state stage cost
+    for r in range(repeats):
+        GLOBAL_STATS.reset()
+        t, dt = timed_run(*build(r + 1))
+        host_s = min(host_s, GLOBAL_STATS.snapshot()["host_seconds"])
+        if dt < best_dt:
+            best_dt, total = dt, t
+    device_s = staged_device_run(build(repeats + 1), build(repeats + 2))
+    msps = total / best_dt / 1e6
+    # Steady-state pipeline rate with host and device stages overlapped
+    # (the <=2-in-flight design): bounded by the slower stage.
+    bound_msps = total / max(host_s, device_s) / 1e6 if total else 0.0
+    return {
+        "e2e_msamples_per_s": round(msps, 3),
+        "e2e_vs_baseline": round(msps / NORTH_STAR_MSAMPLES, 4),
+        "e2e_realtime_x": round(msps * 1e6 / 44100.0, 1),
+        "e2e_wall_s": round(best_dt, 5),
+        "e2e_host_parse_s": round(host_s, 5),
+        "e2e_device_s": round(device_s, 5),
+        "pipeline_bound_msps": round(bound_msps, 3),
+        "pipeline_bound_vs_baseline": round(bound_msps / NORTH_STAR_MSAMPLES, 4),
+        "e2e_total_frames": total_frames,
+        "e2e_total_samples": total,
+        "native_parser": _native_available(),
+    }
+
+
+def _native_available() -> bool:
+    from . import native
+
+    return native.available()
+
+
+def run_full_benchmark(repeats: int = 3) -> dict:
+    """The driver benchmark: e2e pipeline + per-kind device numbers."""
+    e2e = run_e2e_benchmark(repeats=max(2, repeats - 1))
+    kinds = {}
+    parity = True
+    fused = True
+    for kind in CORPUS_KINDS:
+        r = run_benchmark(batch=4096, repeats=repeats, kind=kind)
+        kinds[kind] = r["value"]
+        parity = parity and r["parity_ok"]
+        fused = fused and r["fused_kernel"]
+        backend = r["backend"]
+    import statistics
+
+    device_mix = round(statistics.harmonic_mean(kinds.values()), 3)
+    return {
+        "metric": "e2e sustained decode (mixed corpus: host parse + H2D + device)",
+        "value": e2e["e2e_msamples_per_s"],
+        "unit": "Msamples/s/chip",
+        "vs_baseline": e2e["e2e_vs_baseline"],
+        "realtime_x": e2e["e2e_realtime_x"],
+        **{k: v for k, v in e2e.items() if k != "e2e_msamples_per_s"},
+        "device_msps_by_kind": kinds,
+        "device_msps_harmonic_mean": device_mix,
+        "backend": backend,
+        "fused_kernel": fused,
+        "parity_ok": parity,
     }

@@ -225,6 +225,7 @@ def parse_frame_headers_blob(
     params_per_frame: list[CodecParams] | CodecParams,
     max_bytes: int | None = None,
     strict: bool = True,
+    nwords_multiple: int = 8,
 ) -> FrameBatch:
     """Blob-based front door: native C++ pack+parse when available.
 
@@ -268,7 +269,8 @@ def parse_frame_headers_blob(
         max_bytes = int(sizes.max()) if B else 0
     from ..ops.bitreader import WINDOW_PAD
 
-    nwords = -(-(-(-max_bytes // 4) + WINDOW_PAD) // 8) * 8
+    m = max(8, nwords_multiple)
+    nwords = -(-(-(-max_bytes // 4) + WINDOW_PAD) // m) * m
     words = native.pack_frames_native(blob, offsets, sizes, nwords)
     return FrameBatch(
         words=words,

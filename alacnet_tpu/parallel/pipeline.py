@@ -44,6 +44,8 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
     """Pad lanes to a bucketed batch size; padded lanes have n_samples=0."""
     b = _round_batch(fb.batch) if batch is None else batch
     w = -(-fb.words.shape[1] // WORD_BUCKET) * WORD_BUCKET
+    if b == fb.batch and w == fb.words.shape[1]:
+        return fb  # already bucket-aligned (blob parse packs to WORD_BUCKET)
     words = np.zeros((b, w), dtype=np.uint32)
     words[: fb.batch, : fb.words.shape[1]] = fb.words
     fields = {"words": words}
@@ -127,6 +129,7 @@ def decode_blob(
     max_samples: int,
     batch_limit: int | None = None,
     strict: bool | None = None,
+    sink=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode frames addressed as (offset, size) into a raw byte blob.
 
@@ -134,6 +137,13 @@ def decode_blob(
     the native host runtime (alacnet_tpu/native.py) when available, with
     no per-frame Python objects.  Returns (samples, n, status) where
     ``status`` flags per-frame parse failures in lenient mode.
+
+    ``sink``: optional device-side consumer ``sink(out, n, orig_b)``
+    called with each batch's *device* arrays (padded, size-bucket order)
+    instead of materializing PCM on the host — the decode-to-device path
+    for downstream JAX stages (and for benchmarking without the D2H
+    transfer).  With a sink the returned samples/n are empty; ``status``
+    is still per-frame in original order.
     """
     from ..codec.framemeta_vec import parse_frame_headers_blob
     from ..config import DEFAULT
@@ -148,14 +158,27 @@ def decode_blob(
     # frame doesn't widen (or de-eligibilize from the fused kernel) a
     # whole mixed batch, and lanes within a kernel block stay
     # divergence-bounded. Outputs are unsorted at the end.
-    wb = (sizes // (WORD_BUCKET * 4)).astype(np.int64)
-    perm = np.argsort(wb, kind="stable")
+    # Exact-size sort (not bucket-granular): coded size is the bit-rate
+    # proxy, and the fused kernel's group-sweep word fetch cost within a
+    # 1024-lane block scales with the *spread* of per-lane consumption —
+    # a silence lane sharing a block with a loud-music lane makes every
+    # step sweep the whole span between them (ops/pallas/rice_lpc.py).
+    perm = np.argsort(sizes, kind="stable")
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
     offsets = np.asarray(offsets)[perm]
     sizes = np.asarray(sizes)[perm]
     if not isinstance(params, CodecParams):
         params = [params[i] for i in perm]
+    # Never mix fused-eligible frames with frames too fat for the kernel's
+    # VMEM word table: force a batch boundary at the eligibility cutoff so
+    # one oversized frame can't push a whole batch onto the XLA fallback.
+    from ..ops.bitreader import WINDOW_PAD
+
+    cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
+    cap_bytes = (cap_w - WINDOW_PAD) * 4
+    cut = int(np.searchsorted(sizes, cap_bytes, side="right"))
+    boundaries = sorted({0, cut, F})
     outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).
@@ -163,6 +186,11 @@ def decode_blob(
 
     def drain_one():
         out_d, n_d, orig_b, frames, nbytes, status = pending.pop(0)
+        if sink is not None:
+            sink(out_d, n_d, orig_b)
+            GLOBAL_STATS.record(frames=frames, coded_bytes=nbytes)
+            sts.append(status)
+            return
         with trace_span("alac.device.result_wait", "result_wait_seconds"):
             out = np.asarray(out_d[:orig_b])
             n = np.asarray(n_d[:orig_b])
@@ -173,12 +201,17 @@ def decode_blob(
         ns.append(n)
         sts.append(status)
 
-    for lo in range(0, F, batch_limit):
-        hi = min(lo + batch_limit, F)
+    spans = [
+        (lo, min(lo + batch_limit, b_hi))
+        for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:])
+        for lo in range(b_lo, b_hi, batch_limit)
+    ]
+    for lo, hi in spans:
         p = params if isinstance(params, CodecParams) else params[lo:hi]
         with trace_span("alac.host.parse", "host_seconds"):
             fb = parse_frame_headers_blob(
-                blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict
+                blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict,
+                nwords_multiple=WORD_BUCKET,
             )
         out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples)
         pending.append(
@@ -189,6 +222,15 @@ def decode_blob(
             drain_one()
     while pending:
         drain_one()
+    if sink is not None:
+        status = (
+            np.concatenate(sts)[inv] if sts else np.zeros(0, np.int32)
+        )
+        return (
+            np.zeros((0, max_samples, 2), np.int32),
+            np.zeros(0, np.int32),
+            status,
+        )
     if not outs:
         return (
             np.zeros((0, max_samples, 2), np.int32),

@@ -1,9 +1,13 @@
 """Driver benchmark: prints one JSON line with the headline decode metric.
 
-Metric: device decode throughput for 44.1 kHz/16-bit stereo, order-6
-adaptive-FIR compressed frames, 4096 frames in flight (the BASELINE.json
-flight size).  vs_baseline is the ratio to the 1000x-realtime north star
-(88.2 Msamples/s/chip) — the reference publishes no numbers (BASELINE.md).
+Headline metric: sustained end-to-end pipeline throughput through
+``decode_blob`` — native C++ header parse + H2D + fused device decode,
+host stage overlapped with device decode, mixed corpus
+(music / escape-heavy / zero-run / mixed-order+partial frames), 4096
+frames in flight per dispatch (BASELINE.json).  Per-kind device-stage
+numbers ride along in ``device_msps_by_kind``.  vs_baseline is the ratio
+to the 1000x-realtime north star (88.2 Msamples/s/chip) — the reference
+publishes no numbers (BASELINE.md).
 """
 
 import json
@@ -12,11 +16,11 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
-from alacnet_tpu.bench_lib import run_benchmark  # noqa: E402
+from alacnet_tpu.bench_lib import run_full_benchmark  # noqa: E402
 
 
 def main() -> None:
-    result = run_benchmark(batch=4096, repeats=5)
+    result = run_full_benchmark(repeats=3)
     print(json.dumps(result))
 
 

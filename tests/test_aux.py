@@ -145,3 +145,47 @@ class TestFuzz:
         got = res.pcm
         np.testing.assert_array_equal(got[: 4096 * 2], pcm[: 4096 * 2])
         np.testing.assert_array_equal(got[-4096:], pcm[-4096:])
+
+
+class TestDecodeBlobSink:
+    """decode-to-device path: sink consumes device arrays (round 2)."""
+
+    def test_sink_matches_materialized(self):
+        import numpy as np
+
+        from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+        from alacnet_tpu.codec.cookie import default_cookie
+        from alacnet_tpu.parallel.pipeline import decode_blob
+
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=128)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        rng = np.random.default_rng(8)
+        payloads = [
+            enc.encode_frame(
+                rng.integers(-2000, 2000, (128, 2)).astype(np.int32)
+            )
+            for _ in range(9)
+        ]
+        sizes = np.array([len(p) for p in payloads], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        blob = np.frombuffer(b"".join(payloads), np.uint8)
+        out, n, st = decode_blob(blob, offsets, sizes, params, 128, batch_limit=4)
+        got = []
+
+        def sink(out_d, n_d, orig_b):
+            got.append(
+                (np.asarray(out_d[:orig_b]), np.asarray(n_d[:orig_b]))
+            )
+
+        empty, empty_n, st2 = decode_blob(
+            blob, offsets, sizes, params, 128, batch_limit=4, sink=sink
+        )
+        assert empty.shape[0] == 0 and empty_n.shape[0] == 0
+        np.testing.assert_array_equal(st2, st)
+        # sink batches arrive in size-sorted order; frames here are all
+        # near-identical size, so stable sort keeps original order
+        sunk = np.concatenate([g[0] for g in got])
+        sunk_n = np.concatenate([g[1] for g in got])
+        perm = np.argsort(sizes, kind="stable")
+        np.testing.assert_array_equal(sunk, out[perm])
+        np.testing.assert_array_equal(sunk_n, n[perm])
