@@ -173,43 +173,89 @@ def run_benchmark(
 
     use_fused, max_order = _fused_plan(fb)
     meta = FrameMetaArrays.from_batch(fb)
-    # Distinct input buffers per repeat: identical repeated dispatches can
-    # be short-circuited by the runtime (observed on the axon platform),
-    # so roll the lane axis — same work, different buffers.  Metadata must
-    # roll identically to stay consistent with the payloads.
+    import jax
+
+    # Distinct input buffers per dispatch, rotated by a process-random
+    # base: content-identical dispatches are memoized by the axon relay
+    # (which would fake the timing), and deterministic rolls repeat
+    # across processes.  Metadata rolls identically to stay consistent.
+    salt = np.random.default_rng()
+    base = int(salt.integers(1, max(2, batch - repeats - 1)))
+    repeats = max(2, repeats)
     variants = []
     for r in range(repeats + 1):  # +1: warm-up gets its own buffers
-        w = np.roll(fb.words, r, axis=0)
+        w = np.roll(fb.words, base + r, axis=0)
         mv = FrameMetaArrays.from_batch(fb)._replace(
             **{
-                f: jnp.asarray(np.roll(np.asarray(getattr(meta, f)), r, axis=0))
+                f: jnp.asarray(
+                    np.roll(np.asarray(getattr(meta, f)), base + r, axis=0)
+                )
                 for f in FrameMetaArrays._fields
             }
         )
         variants.append((jnp.asarray(w), mv))
-    import jax
-
-    for v in variants:  # stage on device before timing (tunnel xfer is slow)
-        jax.block_until_ready(v[0])
-        jax.block_until_ready(list(v[1]))
+    # Force H2D with a real readback: over the axon relay,
+    # block_until_ready is a no-op and transfers complete lazily.
+    force = jnp.zeros((), jnp.uint32)
+    for w, mv in variants:
+        force = force + jnp.sum(w)
+    force.item()
 
     # Warm-up (compile)
     out, n = decode_frames(
         *variants[repeats], frame_samples, use_fused=use_fused, max_order=max_order
     )
-    _ = jnp.sum(out).item()
+    jnp.sum(n).item()
 
-    times = []
-    for r in range(repeats):
-        w, mv = variants[r]
+    def run_chain(idxs):
+        """One scalar readback for a whole chain of dispatches — every
+        value readback costs a ~30 ms relay round trip, so per-dispatch
+        timing would measure the tunnel, not the kernel."""
         t0 = time.perf_counter()
-        out, n = decode_frames(
-            w, mv, frame_samples, use_fused=use_fused, max_order=max_order
+        acc = jnp.zeros((), jnp.int32)
+        outs = []
+        for r in idxs:
+            w, mv = variants[r]
+            out, n = decode_frames(
+                w, mv, frame_samples, use_fused=use_fused, max_order=max_order
+            )
+            acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
+            outs.append(out)
+        acc.item()
+        return time.perf_counter() - t0
+
+    # RTT baseline: the warmed variant re-dispatch is served from the
+    # relay memo.  Relay timing has multi-hundred-ms hiccups: min of 3.
+    t_rtt = min(run_chain([repeats]) for _ in range(3))
+    per = (run_chain(range(repeats)) - t_rtt) / repeats
+    if per * repeats < 3 * t_rtt:
+        # Kernel time is in the RTT noise floor: extend the chain with
+        # enough fresh distinct buffers that compute dominates.
+        extra = min(32, max(8, int(3 * t_rtt / max(per, 1e-4))))
+        for r in range(repeats + 1, repeats + 1 + extra):
+            w = np.roll(fb.words, base + r, axis=0)
+            mv = FrameMetaArrays.from_batch(fb)._replace(
+                **{
+                    f: jnp.asarray(
+                        np.roll(np.asarray(getattr(meta, f)), base + r, axis=0)
+                    )
+                    for f in FrameMetaArrays._fields
+                }
+            )
+            variants.append((jnp.asarray(w), mv))
+        force = jnp.zeros((), jnp.uint32)
+        for w, mv in variants[repeats + 1 :]:
+            force = force + jnp.sum(w)
+        force.item()
+        idxs = list(range(repeats)) + list(
+            range(repeats + 1, repeats + 1 + extra)
         )
-        _ = jnp.sum(out).item()  # force full materialization
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    total_samples = int(np.asarray(n).sum())
+        per = (run_chain(idxs) - t_rtt) / len(idxs)
+    best = max(per, 1e-9)
+    out, n = decode_frames(
+        *variants[0], frame_samples, use_fused=use_fused, max_order=max_order
+    )
+    total_samples = int(jnp.sum(n).item())
     # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's output
     # must match the reference-semantics XLA scan path bit for bit.
     if use_fused:

@@ -163,7 +163,7 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
 
 def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             wvmem, otile, sem_w, sem_o, *, W8, S, max_order,
-            out_tile, sub):
+            out_tile, sub, ablate=()):
     nb = pl.program_id(0)
     # Stage this block's word table into VMEM (single rectangular DMA).
     cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
@@ -180,8 +180,13 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     quant = params_ref[0, P_QUANT]
     qshift = (quant - 1) & 31
 
-    rc0 = tuple(rc_in_ref[0, t] for t in range(MAX_ORDER + 1))
-    D0 = tuple(jnp.zeros((sub, LN), I32) for _ in range(MAX_ORDER + 1))
+    tmax0 = max_order  # static
+    # Carry ONLY rc[0..tmax]: the FIR reads rc[1..tmax] and the adaptive
+    # walk writes rc[1..tmax]; carrying the full 32-slot table keeps ~25
+    # dead vregs live across the whole sample loop (2x at sub=16) and
+    # spills the register file every step.
+    rc0 = tuple(rc_in_ref[0, t] for t in range(tmax0 + 1))
+    D0 = tuple(jnp.zeros((sub, LN), I32) for _ in range(tmax0 + 1))
 
     is_pass = order == 0
     is_int31 = order == MAX_ORDER
@@ -218,11 +223,35 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             jnp.full_like(hist, 0xFFFF),
             hist + dv * mult - _sra(hist * mult, jnp.full_like(hist, 9)),
         )
-        zcond = (hist2 < 128) & (i + 1 < n)
         hz = hist2
-        kz = _clz32(hz) + jnp.where(hz >= 0, (hz + 16) // 64, -((-(hz + 16)) // 64)) - 24
-        bsize, bcons = _decode_event(R, roff, consumed, jnp.full_like(rss, 16), kz, kmask)
-        consumed_tot = consumed + jnp.where(zcond, bcons, 0)
+        if "nozrun" in ablate:  # timing ablation only — breaks parity
+            zcond = jnp.zeros_like(hist2, dtype=jnp.bool_)
+            bsize = jnp.zeros_like(hist2)
+            consumed_tot = consumed
+        else:
+            zcond = (hist2 < 128) & (i + 1 < n) & do
+            # The zero-run block-size decode matters only when some live
+            # lane's history fell below 128 (AlacFile.cs:231-249) — never
+            # for steady music/noise.  Gating it on a scalar any() keeps
+            # its dependency chain (hist2 -> kz -> event -> consumed)
+            # off the per-step critical path in the common case; with it
+            # inline the whole kernel ran ~12x slower (measured).
+            # (hz+16)/64 as an arithmetic shift (the VPU has no int
+            # divide).  Exact because history is non-negative: it
+            # starts >= 0, dv >= 0, and mult = rm*(hm/4) <= 7*110 <
+            # 512 keeps h + dv*mult - ((h*mult)>>9) >= 0 (clamped to
+            # 0xFFFF above, AlacFile.cs:229).
+            kz = _clz32(hz) + _sra(hz + 16, jnp.full_like(hz, 6)) - 24
+            # Semantically a no-op (_decode_event clips k to [1,31]) but
+            # load-bearing for codegen: kz is otherwise unbounded (~1040
+            # for large history) and Mosaic then lowers every downstream
+            # variable shift through a slow >=32-safe path — measured 12x
+            # on the whole kernel (74ms -> 6ms per music pass).
+            kz = jnp.minimum(kz, 31)
+            bsize, bcons = _decode_event(
+                R, roff, consumed, jnp.full_like(rss, 16), kz, kmask
+            )
+            consumed_tot = consumed + jnp.where(zcond, bcons, 0)
 
         err = jnp.where(do, rice_val, jnp.zeros_like(rice_val))
 
@@ -232,8 +261,9 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         )
         base = D[0]
         fir = jnp.zeros((sub, LN), I32)
-        for t in range(1, tmax + 1):
-            fir = fir + (D[t] - base) * rc[t]
+        if "nofir" not in ablate:
+            for t in range(1, tmax + 1):
+                fir = fir + (D[t] - base) * rc[t]
         outval = _sra(jax.lax.shift_left(jnp.ones_like(rss), qshift) + fir, quant)
         out_fir = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(outval + base + err, (32 - rss) & 31), (32 - rss) & 31
@@ -245,12 +275,15 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         )
 
         # adaptive coefficient walk (AlacFile.cs:312-332)
-        do_adapt = jnp.logical_not(is_pass | is_int31 | use_int | is_first) & active
+        if "noadapt" in ablate:
+            do_adapt = jnp.zeros_like(active, dtype=jnp.bool_) & active
+        else:
+            do_adapt = jnp.logical_not(is_pass | is_int31 | use_int | is_first) & active
         pos_b = do_adapt & (err > 0)
         neg_b = do_adapt & (err < 0)
         ev = err
         rc = list(rc)
-        for t in range(tmax):
+        for t in range(0 if "noadapt" in ablate else tmax):
             act_p = pos_b & (t < order) & (ev > 0)
             act_n = neg_b & (t < order) & (ev < 0)
             act = act_p | act_n
@@ -288,7 +321,12 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         wp_new = bitpos2 >> 5
         shifts = wp_new - wp
         need = shifts > 0
-        F = fetch_words(wp + 4, need, 3)
+        if "nofetch" in ablate:  # timing ablation only — breaks parity
+            F = (R[1], R[2], R[3])
+        elif "k1" in ablate:  # timing ablation only
+            F = tuple(fetch_words(wp + 4, need, 1)) + (R[2], R[3])
+        else:
+            F = fetch_words(wp + 4, need, 3)
         R0n, R1n, R2n, R3n = R
         for kk in range(3):
             c = shifts > kk
@@ -347,7 +385,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "max_order", "interpret")
+    jax.jit, static_argnames=("num_samples", "max_order", "interpret", "ablate")
 )
 def fused_rice_lpc(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
@@ -358,6 +396,7 @@ def fused_rice_lpc(
     num_samples: int,
     max_order: int = MAX_ORDER,
     interpret: bool = False,
+    ablate: tuple = (),
 ):
     """Decode+reconstruct one channel for a lane batch.
 
@@ -402,7 +441,8 @@ def fused_rice_lpc(
     # Smaller output staging for wide tiles (VMEM headroom).
     out_tile = min(OUT_TILE if sub == 8 else 128, S)
     kern = functools.partial(
-        _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub
+        _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub,
+        ablate=ablate,
     )
     out, state = pl.pallas_call(
         kern,
