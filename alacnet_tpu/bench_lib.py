@@ -38,7 +38,7 @@ from .parallel.pipeline import pad_frame_batch
 #: North-star: 1000x realtime, 44.1 kHz stereo (BASELINE.json).
 NORTH_STAR_MSAMPLES = 88.2
 
-CORPUS_KINDS = ("music", "spiky", "silence", "orders")
+CORPUS_KINDS = ("music", "spiky", "silence", "orders", "hires24")
 
 
 def _music_pcm(n: int, bits: int, channels: int, rng) -> np.ndarray:
@@ -90,6 +90,33 @@ def make_kind_frames(
         idx = rng.integers(0, n, max(1, n // 2048))
         pcm[idx, 0] = rng.integers(1, 1000, idx.size)
         orders, sizes = [4], [frame_samples]
+    elif kind == "hires24":
+        # 24-bit content: coded frames run 12-16 KB — exercises the
+        # narrow (sub=4) lane tile that keeps fat frames on the fused
+        # kernel instead of the XLA fallback.
+        pcm = _music_pcm(n, 24, channels, rng)
+        # ~9 bits of unpredictable low-order content: realistic 24/96
+        # material compresses to ~50-60% (= 12-14 KB coded frames, the
+        # sub=4 lane-tile regime); white 12-bit noise would push frames
+        # past any kernel's VMEM word table.
+        pcm = np.clip(
+            pcm + rng.integers(-400, 400, pcm.shape),
+            -(1 << 23), (1 << 23) - 1,
+        ).astype(np.int32)
+        orders, sizes = [6], [frame_samples]
+        # ub=1 extra-bits is how real encoders handle 24-bit (the 16-bit
+        # coef grid can't predict a 24-bit-scale signal below ~2^13
+        # residuals; the low byte rides the raw side channel instead):
+        # ~17 KB coded frames -> the sub=4 lane-tile regime.
+        encs = [AlacEncoder(params, EncoderConfig(order=o, uncompressed_bytes=1))
+                for o in orders]
+        payloads = []
+        pos = 0
+        for i in range(num_distinct):
+            payloads.append(encs[i % len(encs)].encode_frame(
+                pcm[pos : pos + frame_samples]))
+            pos = (pos + frame_samples) % (n - frame_samples + 1)
+        return payloads
     elif kind == "orders":
         # Quiet content: order-0 passthrough codes the raw residual, so
         # loud PCM would produce pathological frame sizes no real encoder
@@ -121,7 +148,9 @@ def make_corpus_frames(
     kind: str = "music",
 ) -> tuple[list[bytes], "object"]:
     """Encode ``num_distinct`` frames of one kind; returns (payloads, params)."""
-    params = default_cookie(44100, bits, channels, frame_samples)
+    if kind == "hires24":
+        bits = 24
+    params = default_cookie(96000 if bits == 24 else 44100, bits, channels, frame_samples)
     if kind == "music" and order != 6:
         rng = np.random.default_rng(seed)
         pcm = _music_pcm(num_distinct * frame_samples, bits, channels, rng)
@@ -296,7 +325,8 @@ def _mixed_pool(
     """Distinct frames across all corpus kinds + their params."""
     params = default_cookie(44100, bits, 2, frame_samples)
     pool = []
-    for k, kind in enumerate(CORPUS_KINDS):
+    kinds = [k for k in CORPUS_KINDS if k != "hires24"]  # single cookie
+    for k, kind in enumerate(kinds):
         pool.extend(
             make_kind_frames(
                 kind, distinct_per_kind, frame_samples, params, bits,

@@ -32,9 +32,9 @@ from .rice_lpc import (
     LN,
     NP,
     U32,
-    WORDS_VMEM_BUDGET,
     _window32,
     make_fetch_words,
+    pick_sub,
 )
 
 #: params rows
@@ -124,13 +124,7 @@ def bulk_bits(
     assert B % LANES == 0 and W % 8 == 0, (B, W)
     W8 = W // 8
     S = num_samples
-    sub = 8
-    for cand in (32, 16):
-        if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
-            sub = cand
-            break
-    if W8 * sub * 4096 > WORDS_VMEM_BUDGET:
-        raise ValueError(f"word table too large ({W8 * 8} words/frame)")
+    sub = pick_sub(B, W8)
     lanes = sub * LN
     NB = B // lanes
     wordsv = words.reshape(NB, sub, LN, W8, 8).transpose(0, 3, 4, 1, 2)
@@ -138,7 +132,7 @@ def bulk_bits(
         [start_bitpos, n, n1, n2] + [jnp.zeros_like(n)] * (NP - 4), axis=0
     ).astype(I32)
     paramsv = params.reshape(NP, NB, sub, LN).transpose(1, 0, 2, 3)
-    out_tile = min(OUT_TILE if sub == 8 else 128, S)
+    out_tile = min(OUT_TILE if sub <= 8 else 128, S)
     kern = functools.partial(_kernel, W8=W8, S=S, out_tile=out_tile, sub=sub)
     outa, outb = pl.pallas_call(
         kern,

@@ -68,6 +68,23 @@ P_START, P_N, P_RSS, P_KMOD, P_IHIST, P_MULT, P_KMASK, P_ORDER, P_QUANT = range(
 NP = 16  # padded row count
 
 
+def pick_sub(B: int, W8: int) -> int:
+    """Widest lane tile (sub, 128) whose word table fits the VMEM budget.
+
+    Wider tiles amortize per-op overhead; sub=4 (half-utilized vregs)
+    exists so fat frames — typical 24-bit content runs 12-24 KB coded —
+    keep the fused kernel at half rate instead of falling to the ~50x
+    slower XLA scan path.  Table bytes = W8*8 words x sub*128 lanes x 4.
+    """
+    for cand in (32, 16, 8, 4):
+        if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
+            return cand
+    raise ValueError(
+        f"frame word table too large for VMEM ({W8 * 8} words/frame); "
+        "gate with parallel.pipeline.FUSED_MAX_WORDS and use the XLA path"
+    )
+
+
 def _sel4(wi, a, b, c, d):
     """Per-lane 4-way select by wi in 0..3."""
     return jnp.where(wi == 0, a, jnp.where(wi == 1, b, jnp.where(wi == 2, c, d)))
@@ -110,14 +127,27 @@ def make_fetch_words(wvmem, W8: int, sub: int):
         acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
 
         def body(g, acc):
-            tile = wvmem[g].reshape(8, sub * LN)
             out = []
-            for k in range(K):
-                o = (wps[k] & 7).reshape(1, sub * LN)
-                idx = jnp.broadcast_to(o, (8, sub * LN))
-                got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
-                got = got.reshape(sub, LN).astype(U32)
-                out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
+            if sub >= 8:
+                tile = wvmem[g].reshape(8, sub * LN)
+                for k in range(K):
+                    o = (wps[k] & 7).reshape(1, sub * LN)
+                    idx = jnp.broadcast_to(o, (8, sub * LN))
+                    got = jnp.take_along_axis(tile, idx, axis=0)[0:1]
+                    got = got.reshape(sub, LN).astype(U32)
+                    out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
+            else:
+                # Narrow (sub<8) tiles can't legalize the (8, sub*LN)
+                # gather reshape in Mosaic; an 8-way load+select ladder
+                # costs a few extra VMEM reads per group but keeps fat
+                # frames (sub=4) on the fused kernel.
+                rows = [wvmem[g, j].astype(U32) for j in range(8)]
+                for k in range(K):
+                    o = wps[k] & 7
+                    got = rows[0]
+                    for j in range(1, 8):
+                        got = jnp.where(o == j, rows[j], got)
+                    out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
             return out
 
         return jax.lax.fori_loop(g_lo, g_hi + 1, body, acc)
@@ -407,20 +437,7 @@ def fused_rice_lpc(
     W8 = W // 8
     S = num_samples
 
-    # Widest lane tile whose word table fits the VMEM budget: wider tiles
-    # ((16,128), (32,128)) amortize the per-op dependency-chain latency
-    # over more vreg-cycles — the kernel is latency-bound, not
-    # throughput-bound.
-    sub = 8
-    for cand in (32, 16):
-        if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
-            sub = cand
-            break
-    if W8 * sub * 4096 > WORDS_VMEM_BUDGET:
-        raise ValueError(
-            f"frame word table too large for VMEM ({W8 * 8} words/frame); "
-            "gate with parallel.pipeline.FUSED_MAX_WORDS and use the XLA path"
-        )
+    sub = pick_sub(B, W8)
     lanes = sub * LN
     NB = B // lanes
 
@@ -439,7 +456,7 @@ def fused_rice_lpc(
     rcv = rc.astype(I32).reshape(NB, sub, LN, MAX_ORDER + 1).transpose(0, 3, 1, 2)
 
     # Smaller output staging for wide tiles (VMEM headroom).
-    out_tile = min(OUT_TILE if sub == 8 else 128, S)
+    out_tile = min(OUT_TILE if sub <= 8 else 128, S)
     kern = functools.partial(
         _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub,
         ablate=ablate,

@@ -60,7 +60,11 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
 #: per-block word table costs W * 1024 lanes * 4 bytes and must leave
 #: room for output staging (ops/pallas/rice_lpc.WORDS_VMEM_BUDGET).
 FUSED_MIN_BATCH = 1024
-FUSED_MAX_WORDS = 2900  # words (~11.9 MB table at 1024 lanes)
+#: Widest fused-decodable frame: at the narrowest lane tile (sub=4, see
+#: ops/pallas/rice_lpc.pick_sub) the VMEM word table holds ~5950 words
+#: (~23.8 KB coded frame) — covers typical 24-bit/96 kHz content, which
+#: at the old 2900-word cap fell to the ~50x slower XLA path.
+FUSED_MAX_WORDS = 5888
 
 
 def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:

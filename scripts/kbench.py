@@ -29,12 +29,12 @@ def corpus(kind: str, batch: int = 4096, S: int = 4096):
     f = CACHE / f"{kind}_{batch}_{S}.pkl"
     if f.exists():
         return pickle.loads(f.read_bytes())
-    from alacnet_tpu.bench_lib import make_kind_frames
-    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.bench_lib import make_corpus_frames
     from alacnet_tpu.codec.framemeta_vec import parse_frame_headers_vec
 
-    params = default_cookie(44100, 16, 2, S)
-    distinct = make_kind_frames(kind, 32, S, params)
+    distinct, params = make_corpus_frames(
+        num_distinct=32, frame_samples=S, kind=kind
+    )
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
     fb = parse_frame_headers_vec(payloads, params)
     from alacnet_tpu.parallel.pipeline import pad_frame_batch

@@ -130,3 +130,50 @@ def test_bulk_bits_matches_xla_gather(cfg, rng):
     )
     np.testing.assert_array_equal(np.asarray(a), ref_a.astype(np.int32))
     np.testing.assert_array_equal(np.asarray(b), ref_b.astype(np.int32))
+
+
+def test_fused_kernel_sub4_wide_frames(rng):
+    """Fat frames (W > the sub=8 VMEM cap) decode on the narrow (4,128)
+    lane tile instead of falling back to XLA (round 2: typical 24-bit
+    content is 12-24 KB coded)."""
+    from alacnet_tpu.ops.pallas.rice_lpc import WORDS_VMEM_BUDGET, pick_sub
+
+    S = 64
+    payloads, params = _mixed_payloads(S, 24, rng)
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+    # Pad the word table wide enough that sub=8 busts the budget
+    # (W * 1024 lanes * 4 B > WORDS_VMEM_BUDGET) but sub=4 fits.
+    W = (WORDS_VMEM_BUDGET // 4096 // 8) * 8 + 64
+    assert pick_sub(LANES, W // 8) == 4
+
+    def pad(a):
+        out = np.zeros((LANES,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = np.zeros((LANES, W), np.uint32)
+    words[:B0, : fb.words.shape[1]] = fb.words
+    words = jnp.asarray(words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    rp = RiceParams(
+        rss=pad(fb.rss), kmod=pad(fb.kmod), init_history=pad(fb.init_history),
+        mult=pad(fb.rice_mult[:, 0]), kmask=pad(fb.kmask),
+    )
+    err, endp = rice_decode(words, start, n, rp, S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=pad(fb.order[:, 0]), quant=pad(fb.quant[:, 0]),
+                  rc=pad(fb.rc[:, 0]), rss=rp.rss),
+        S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n,
+        rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        S,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
