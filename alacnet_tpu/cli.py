@@ -175,14 +175,20 @@ def _cmd_stats(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    from .bench_lib import run_benchmark
+    from .bench_lib import run_benchmark, run_e2e_benchmark, run_full_benchmark
 
-    result = run_benchmark(
-        batch=args.batch,
-        seconds_of_audio=args.seconds,
-        bits=args.bits,
-        repeats=args.repeats,
-    )
+    if args.full:
+        result = run_full_benchmark(repeats=args.repeats)
+    elif args.e2e:
+        result = run_e2e_benchmark(repeats=args.repeats)
+    else:
+        result = run_benchmark(
+            batch=args.batch,
+            seconds_of_audio=args.seconds,
+            bits=args.bits,
+            repeats=args.repeats,
+            kind=args.kind,
+        )
     print(json.dumps(result))
     return 0
 
@@ -240,6 +246,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seconds", type=float, default=60.0)
     p.add_argument("--bits", type=int, default=16)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument(
+        "--kind",
+        default="music",
+        help="corpus kind: music|spiky|silence|orders|hires24",
+    )
+    p.add_argument(
+        "--e2e", action="store_true",
+        help="sustained decode_blob pipeline (host parse + H2D + device)",
+    )
+    p.add_argument(
+        "--full", action="store_true",
+        help="e2e + per-kind device numbers (the driver benchmark)",
+    )
     p.set_defaults(fn=_cmd_bench)
 
     args = ap.parse_args(argv)
