@@ -26,7 +26,7 @@ import numpy as np
 
 from .container import demux
 from .errors import SampleReadError
-from .parallel.pipeline import decode_payloads
+
 from .pcm import format_pcm_bytes
 
 
@@ -81,13 +81,25 @@ class AlacContext:
     # -- decode window management -------------------------------------------
 
     def _decode_window(self, first: int) -> None:
+        """Decode frames [first, first+window) through the blob path.
+
+        One contiguous-span read + the native parse/pack pipeline
+        (parallel.pipeline.decode_blob) instead of a per-frame Python
+        seek/read loop — frames of a window are adjacent in mdat except
+        across chunk gaps, so a single [min, max) span read covers them.
+        """
+        from .parallel.pipeline import decode_blob
+
         hi = min(first + self._window, self.num_frames)
-        payloads = []
-        for f in range(first, hi):
-            self._stream.seek(int(self._offsets[f]))
-            payloads.append(self._stream.read(int(self._sizes[f])))
-        out, n = decode_payloads(
-            payloads, self.info.params, self.info.params.max_samples_per_frame
+        offs = self._offsets[first:hi].astype(np.int64)
+        sizes = self._sizes[first:hi].astype(np.int64)
+        lo_byte = int(offs.min())
+        hi_byte = int((offs + sizes).max())
+        self._stream.seek(lo_byte)
+        blob = np.frombuffer(self._stream.read(hi_byte - lo_byte), np.uint8)
+        out, n, _ = decode_blob(
+            blob, offs - lo_byte, sizes, self.info.params,
+            self.info.params.max_samples_per_frame,
         )
         self._cache_first = first
         self._cache_out = out
