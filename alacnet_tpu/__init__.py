@@ -21,6 +21,7 @@ from .batch import (
 from .config import DecodeConfig
 from .codec.cookie import CodecParams, default_cookie
 from .codec.encoder import AlacEncoder, EncoderConfig, encode_m4a
+from .codec.encoder_tpu import encode_frames_tpu
 from .container.demux import StreamInfo, parse
 from .context import AlacContext
 from .pcm import format_pcm_bytes, read_wav, write_wav
@@ -62,6 +63,7 @@ __all__ = [
     "UnsupportedFormatError",
     "default_cookie",
     "encode_m4a",
+    "encode_frames_tpu",
     "parse",
     "__version__",
 ]

@@ -495,6 +495,7 @@ def run_full_benchmark(repeats: int = 3) -> dict:
     import statistics
 
     device_mix = round(statistics.harmonic_mean(kinds.values()), 3)
+    enc = run_encode_benchmark(repeats=2)
     return {
         "metric": "e2e sustained decode (mixed corpus: host parse + H2D + device)",
         "value": e2e["e2e_msamples_per_s"],
@@ -504,7 +505,107 @@ def run_full_benchmark(repeats: int = 3) -> dict:
         **{k: v for k, v in e2e.items() if k != "e2e_msamples_per_s"},
         "device_msps_by_kind": kinds,
         "device_msps_harmonic_mean": device_mix,
+        **enc,
         "backend": backend,
         "fused_kernel": fused,
         "parity_ok": parity,
+    }
+
+
+def run_encode_benchmark(
+    num_frames: int = 2048,
+    frame_samples: int = 4096,
+    bits: int = 16,
+    repeats: int = 2,
+    seed: int = 9,
+) -> dict:
+    """Device-batch encoder throughput (codec/encoder_tpu.py).
+
+    Reports the device-stage rate (chained-readback slope over the
+    jitted encode_stages) and the end-to-end encode_frames_tpu wall
+    (host prep + device + native bit packing) — the latter is host-bound
+    on this 1-vCPU machine (per-frame Levinson + packing).
+    """
+    import jax
+
+    from .codec.encoder_tpu import encode_frames_tpu
+    from .ops.encode import RiceEncParams, encode_stages
+    from .ops.lpc import LpcParams, reverse_coefs
+
+    rng = np.random.default_rng(seed)
+    S, F = frame_samples, num_frames
+    B = 2 * F
+    pcm = _music_pcm(F * S, bits, 2, rng)
+    params = default_cookie(44100, bits, 2, S)
+
+    # -- device stage (slope method; see run_benchmark for why) --
+    L = pcm[:, 0].astype(np.int64)
+    R = pcm[:, 1].astype(np.int64)
+    cb = L - R
+    ca = R + (cb >> 1)
+    sig = np.zeros((B, S), np.int32)
+    sig[:F] = ca.reshape(F, S)
+    sig[F:] = cb.reshape(F, S)
+    ns = jnp.asarray(np.full(B, S, np.int32))
+    coefs = np.zeros((B, 31), np.int32)
+    coefs[:, :6] = _SEED6 = [1536, -768, 384, -192, 96, -48]
+    rc = reverse_coefs(coefs, np.full(B, 6, np.int32))
+    lp = LpcParams(
+        order=jnp.asarray(np.full(B, 6, np.int32)),
+        quant=jnp.asarray(np.full(B, 9, np.int32)),
+        rc=jnp.asarray(rc),
+        rss=jnp.asarray(np.full(B, bits + 1, np.int32)),
+    )
+    rp = RiceEncParams(
+        rss=lp.rss,
+        kmod=jnp.asarray(np.full(B, params.rice_kmodifier, np.int32)),
+        init_history=jnp.asarray(np.full(B, params.rice_initial_history, np.int32)),
+        mult=jnp.asarray(np.full(B, params.rice_history_mult_for(4), np.int32)),
+        kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
+    )
+    salt = np.random.default_rng()
+    base = int(salt.integers(1, B - 2 * repeats - 2))
+    vs = [jnp.asarray(np.roll(sig, base + r, axis=0)) for r in range(2 * repeats + 1)]
+    force = jnp.zeros((), jnp.int32)
+    for v in vs:
+        force = force + jnp.sum(v)
+    force.item()
+    _, _, w0, _ = encode_stages(vs[-1], ns, lp, rp, S)
+    jnp.sum(w0.astype(jnp.int32)).item()
+
+    def chain(idxs):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for r in idxs:
+            _, _, w, _ = encode_stages(vs[r], ns, lp, rp, S)
+            acc = acc + jnp.sum(w[:, -1, :].astype(jnp.int32))
+        acc.item()
+        return time.perf_counter() - t0
+
+    rtt = min(chain([2 * repeats]) for _ in range(3))
+    per = min(
+        chain(range(repeats)),
+        chain(range(repeats, 2 * repeats)),
+    )
+    dev_s = max((per - rtt) / repeats, 1e-9)
+    dev_msps = F * S / dev_s / 1e6
+
+    # -- end-to-end (host prep + device + pack), smaller to bound time --
+    Fe = min(F, 256)
+    frames = [pcm[i * S : (i + 1) * S] for i in range(Fe)]
+    encode_frames_tpu(frames, params, EncoderConfig(order=6))  # warm
+    t0 = time.perf_counter()
+    payloads = encode_frames_tpu(frames, params, EncoderConfig(order=6))
+    e2e_s = time.perf_counter() - t0
+    e2e_msps = Fe * S / e2e_s / 1e6
+    coded = sum(len(p) for p in payloads)
+    return {
+        "encode_device_msps": round(dev_msps, 3),
+        "encode_device_s": round(dev_s, 5),
+        # End-to-end includes the symbol-plane D2H, which on the axon
+        # tunnel runs at ~MB/s — an environment artifact (the planes are
+        # ~16 B/sample; any real host moves them at GB/s).
+        "encode_e2e_msps": round(e2e_msps, 3),
+        "encode_ratio": round(coded / (Fe * S * 2 * (bits // 8)), 4),
+        "encode_frames": F,
     }

@@ -120,7 +120,7 @@ def _cmd_encode(args) -> int:
     cfg = EncoderConfig(order=args.order)
     t0 = time.perf_counter()
     with open(args.output, "wb") as f:
-        encode_m4a(f, pcm, rate, bits, cfg)
+        encode_m4a(f, pcm, rate, bits, cfg, device=args.device)
     dt = time.perf_counter() - t0
     import os
 
@@ -228,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--order", type=int, default=6)
     p.add_argument("--bits", type=int, default=0)
+    p.add_argument(
+        "--device", action="store_true",
+        help="run the sequential encode stages batched on the accelerator",
+    )
     p.set_defaults(fn=_cmd_encode)
 
     p = sub.add_parser(

@@ -533,9 +533,14 @@ def encode_m4a(
     sample_size: int = 16,
     config: EncoderConfig | None = None,
     max_samples_per_frame: int = 4096,
+    device: bool = False,
     **mux_kwargs,
 ) -> CodecParams:
-    """Encode a PCM array (num_samples, channels) into a complete .m4a."""
+    """Encode a PCM array (num_samples, channels) into a complete .m4a.
+
+    ``device=True`` runs the sequential encode stages frame-parallel on
+    the accelerator (codec/encoder_tpu.py) — byte-identical output.
+    """
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -546,12 +551,17 @@ def encode_m4a(
         num_channels=nch,
         max_samples_per_frame=max_samples_per_frame,
     )
-    enc = AlacEncoder(params, config)
-    frames = []
-    durations = []
-    for start in range(0, nsamples, max_samples_per_frame):
-        chunk = pcm[start : start + max_samples_per_frame]
-        frames.append(enc.encode_frame(chunk))
-        durations.append(len(chunk))
+    chunks = [
+        pcm[s : s + max_samples_per_frame]
+        for s in range(0, nsamples, max_samples_per_frame)
+    ]
+    durations = [len(c) for c in chunks]
+    if device and not (config and config.force_uncompressed):
+        from .encoder_tpu import encode_frames_tpu
+
+        frames = encode_frames_tpu(chunks, params, config)
+    else:
+        enc = AlacEncoder(params, config)
+        frames = [enc.encode_frame(c) for c in chunks]
     write_m4a(out, params, frames, durations, **mux_kwargs)
     return params

@@ -1,0 +1,270 @@
+"""TPU-native batch ALAC *encoding* stages (beyond-reference capability).
+
+The reference has no encoder; the host tier grew one in round 1
+(codec/encoder.py + _native/host.cpp).  This module moves the two
+sequential per-sample automatons onto the device, frame-per-lane like
+the decoder:
+
+  * :func:`predictor_errors` — the forward adaptive FIR: runs the
+    decoder's reconstruction (AlacFile.cs:256-336) in lockstep over the
+    *known* signal and solves for each residual, mutating the
+    coefficient table exactly as the decoder will.  Same base-aligned
+    window/coef layout as ops/lpc.py, but the window carries inputs.
+  * :func:`rice_symbols` — the Rice/adaptive-Golomb emitter
+    (EntropyRiceDecode's state machine run forward, AlacFile.cs:214-252):
+    per sample it produces up to four (value, width) bit fields — unary
+    or escape marker, remainder field, and the optional zero-run
+    block-size symbol pair.  Bit *packing* (concatenating the variable-
+    width fields) is embarrassingly parallel per frame and stays in the
+    native host tier (alac_pack_bits), so the device never needs a
+    bit-scatter.
+
+Quotient computation is division-free: q = raw / m only matters while
+q <= 8 (RICE_THRESHOLD; larger escapes, AlacFile.cs:196-202), so nine
+conditional subtractions bound it — the VPU has no integer divide.
+
+Both stages fold stereo channels into extra lanes (channel histories are
+independent, unlike the bitstream itself, which is only concatenated at
+pack time — encoding has no decode-side cursor dependency, so channels
+A and B parallelize perfectly here).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..codec.cookie import RICE_THRESHOLD
+from .bitops import I32, shl, sign_i32, signext, sra
+from .lpc import MAX_ORDER, LpcParams
+
+
+def _clz32(x):
+    # clz(0) = 40 ladder semantics (AlacFile.cs:190).
+    c = jax.lax.clz(x.astype(jnp.uint32)).astype(I32)
+    return jnp.where(x == 0, jnp.full_like(c, 40), c)
+
+
+def predictor_errors(sig, n, params: LpcParams, num_samples: int):
+    """Residuals whose decode reproduces ``sig`` bit-exactly.
+
+    sig: (B, S) int32 channel values (decorrelated, extra-bits split
+    off); n: (B,) valid counts; params as for ops/lpc.lpc_decode (rc in
+    the base-aligned reversed layout, mutated in-scan like the decoder's
+    table).  Returns errs (B, S) int32.
+    """
+    order = params.order.astype(I32)
+    quant = params.quant.astype(I32)
+    rss = params.rss.astype(I32)
+    B = sig.shape[0]
+
+    is_pass = order == 0
+    is_int31 = order == MAX_ORDER
+    append_hot = (
+        jnp.arange(MAX_ORDER + 1, dtype=I32)[None, :] == order[:, None]
+    )
+    qshift = (quant - 1) & 31
+    one = jnp.ones((), I32)
+
+    sig_t = sig.T  # (S, B)
+
+    def step(carry, inp):
+        i, x = inp
+        prev, D, rc = carry
+
+        # integration/warm-up residual (AlacFile.cs:276-292 inverted)
+        err_int = signext(x - prev, rss)
+        base = D[:, 0]
+        fir = jnp.sum(
+            (D[:, 1:] - base[:, None]) * rc[:, 1:], axis=1, dtype=jnp.int32
+        )
+        outval = sra(shl(one, qshift) + fir, quant)
+        err_fir = signext(x - outval - base, rss)
+
+        use_int = is_int31 | (i <= order)
+        err = jnp.where(is_pass, x, jnp.where(use_int, err_int, err_fir))
+
+        # adaptive coefficient walk — identical to the decoder's
+        # (ops/lpc.py step), with window values = inputs
+        do_adapt = ~(is_pass | is_int31 | use_int)
+        pos_b = do_adapt & (err > 0)
+        neg_b = do_adapt & (err < 0)
+        ev = err
+        rc_cols = [rc[:, t] for t in range(MAX_ORDER + 1)]
+        for t in range(MAX_ORDER):
+            act_p = pos_b & (t < order) & (ev > 0)
+            act_n = neg_b & (t < order) & (ev < 0)
+            act = act_p | act_n
+            val = base - D[:, t + 1]
+            sgn = sign_i32(val)
+            sign_eff = jnp.where(act_p, sgn, jnp.where(act_n, -sgn, 0))
+            rc_cols[t + 1] = rc_cols[t + 1] - sign_eff
+            ev = jnp.where(act, ev - sra(val * sign_eff, quant) * (t + 1), ev)
+        rc_new = jnp.stack(rc_cols, axis=1)
+        rc = jnp.where(do_adapt[:, None], rc_new, rc)
+
+        # advance window with the INPUT sample (== decoder's output)
+        shifted = jnp.concatenate([D[:, 1:], D[:, :1]], axis=1)
+        D = jnp.where(append_hot, x[:, None], shifted)
+
+        live = i < n
+        err = jnp.where(live, err, jnp.zeros_like(err))
+        prev = jnp.where(live, x, prev)
+        return (prev, D, rc), err
+
+    # i = 0: err[0] = sig[0] verbatim (AlacFile.cs first-sample copy).
+    x0 = sig_t[0]
+    D0 = jnp.where(append_hot, x0[:, None], jnp.zeros((B, MAX_ORDER + 1), I32))
+    init = (x0, D0, params.rc.astype(I32))
+    xs = (jnp.arange(1, num_samples, dtype=I32), sig_t[1:])
+    (_, _, _), errs = jax.lax.scan(step, init, xs)
+    err0 = jnp.where(n > 0, x0, jnp.zeros_like(x0))
+    return jnp.concatenate([err0[None, :], errs], axis=0).T
+
+
+def zero_run_lengths(errs, n, num_samples: int):
+    """(B, S) runs of zero residuals starting at i+1 (capped at n).
+
+    Vectorized lookahead for the encoder's zero-run symbol
+    (AlacFile.cs:231-249): run[i] = #{j > i : errs[i+1..j] all zero},
+    stopping at the lane's n (the reference's ``i + 1 + run < n`` walk).
+    """
+    S = num_samples
+    idx = jnp.arange(S, dtype=I32)[None, :]
+    # positions that BREAK a zero run: nonzero residual or past-n
+    brk = (errs != 0) | (idx >= n[:, None])
+    nz_idx = jnp.where(brk, idx, S)
+    # suffix minimum: index of the next break at or after i
+    next_brk = jax.lax.cummin(nz_idx[:, ::-1], axis=1)[:, ::-1]
+    run_from = next_brk - idx  # zeros starting at i
+    run_after = jnp.concatenate(
+        [run_from[:, 1:], jnp.zeros((errs.shape[0], 1), I32)], axis=1
+    )
+    return jnp.minimum(run_after, 0xFFFF)
+
+
+class RiceEncParams(NamedTuple):
+    rss: jax.Array  # (B,) int32
+    kmod: jax.Array
+    init_history: jax.Array
+    mult: jax.Array
+    kmask: jax.Array
+
+
+def _emit_sym(raw, rss, k, mask):
+    """(v0,w0,v1,w1) bit fields for one entropy symbol (AlacFile.cs:193-212
+    run forward).  Division-free: quotients above RICE_THRESHOLD escape."""
+    k_safe = jnp.clip(k, 1, 31)
+    m = (shl(jnp.ones_like(k_safe), k_safe) - 1) & mask
+    rem = raw
+    q = jnp.zeros_like(raw)
+    for _ in range(RICE_THRESHOLD + 1):
+        c = (m > 0) & (rem >= m)
+        rem = rem - jnp.where(c, m, 0)
+        q = q + c.astype(I32)
+    esc_q = (m <= 0) | (q > RICE_THRESHOLD)
+    is_k1 = k == 1
+    esc = jnp.where(is_k1, raw > RICE_THRESHOLD, esc_q)
+    uq = jnp.where(is_k1, jnp.minimum(raw, RICE_THRESHOLD), q)
+    # unary: uq one-bits then a zero = (2^(uq+1) - 2), width uq+1
+    v0 = jnp.where(esc, 0x1FF, shl(jnp.ones_like(uq), uq + 1) - 2)
+    w0 = jnp.where(esc, 9, uq + 1)
+    r = rem
+    v1 = jnp.where(esc, raw, jnp.where(is_k1, 0, jnp.where(r == 0, 0, r + 1)))
+    w1 = jnp.where(
+        esc, rss, jnp.where(is_k1, 0, jnp.where(r == 0, k_safe - 1, k_safe))
+    )
+    return v0, w0, v1, w1
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def rice_symbols(errs, zruns, n, params: RiceEncParams, num_samples: int):
+    """Run the Rice emitter automaton -> fixed-arity bit-field planes.
+
+    Returns (vals16 (B, S, 2) int16 — the unary/marker fields [v0, v2],
+    vals32 (B, S, 2) int32 — the remainder/escape fields [v1, v3],
+    widths (B, S, 4) int8 in field order v0,v1,v2,v3, bad (B,) bool).
+    Fields with width 0 are no-ops for the packer; ``bad`` flags the
+    (construction-impossible) encoder desync raw < 0 — the host raises,
+    mirroring codec/encoder.py's RuntimeError.
+    """
+    rss = params.rss.astype(I32)
+    kmod = params.kmod.astype(I32)
+    mult = params.mult.astype(I32)
+    kmask = params.kmask.astype(I32)
+    neg1 = jnp.full_like(rss, -1)
+
+    errs_t = errs.T
+    zr_t = zruns.T
+
+    def step(carry, inp):
+        i, err, zr = inp
+        h, sgnmod, skip, bad = carry
+        in_skip = skip > 0
+        active = (i < n) & ~in_skip
+
+        dv = jnp.where(err > 0, 2 * err, jnp.where(err < 0, -2 * err - 1, 0))
+        raw = dv - sgnmod
+        bad = bad | (active & (raw < 0))
+        ik = 31 - kmod - _clz32(sra(h, jnp.full_like(h, 9)) + 3)
+        k = jnp.where(ik < 0, ik + kmod, kmod)
+        v0, w0, v1, w1 = _emit_sym(raw, rss, k, neg1)
+
+        h2 = jnp.where(
+            dv > 0xFFFF,
+            jnp.full_like(h, 0xFFFF),
+            h + dv * mult - sra(h * mult, jnp.full_like(h, 9)),
+        )
+        zcond = (h2 < 128) & (i + 1 < n)
+        kz = jnp.minimum(
+            _clz32(h2) + sra(h2 + 16, jnp.full_like(h2, 6)) - 24, 31
+        )
+        v2, w2, v3, w3 = _emit_sym(zr, jnp.full_like(rss, 16), kz, kmask)
+
+        emit_v = active
+        emit_z = active & zcond
+        # Unary/marker fields fit 16 bits (<= 0x3FE); widths fit 8.
+        # Halves the device->host transfer of the symbol planes.
+        vals16 = jnp.stack([v0, v2], axis=-1).astype(jnp.int16)
+        vals32 = jnp.stack([v1, v3], axis=-1)
+        widths = jnp.stack(
+            [
+                jnp.where(emit_v, w0, 0),
+                jnp.where(emit_v, w1, 0),
+                jnp.where(emit_z, w2, 0),
+                jnp.where(emit_z, w3, 0),
+            ],
+            axis=-1,
+        ).astype(jnp.int8)
+
+        h_n = jnp.where(active, jnp.where(zcond, 0, h2), h)
+        sgn_n = jnp.where(active, jnp.where(zcond, 1, 0), sgnmod)
+        skip_n = jnp.where(
+            active, jnp.where(zcond, zr, 0),
+            jnp.where(in_skip & (i < n), skip - 1, skip),
+        )
+        return (h_n, sgn_n, skip_n, bad), (vals16, vals32, widths)
+
+    B = errs.shape[0]
+    z = jnp.zeros((B,), I32)
+    init = (params.init_history.astype(I32), z, z, jnp.zeros((B,), bool))
+    xs = (jnp.arange(num_samples, dtype=I32), errs_t, zr_t)
+    (h, s, sk, bad), (vals16, vals32, widths) = jax.lax.scan(step, init, xs)
+    return (
+        vals16.transpose(1, 0, 2),
+        vals32.transpose(1, 0, 2),
+        widths.transpose(1, 0, 2),
+        bad,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int):
+    """One-dispatch device encode: residuals -> zero-run lookahead ->
+    rice symbol planes.  Returns (vals16, vals32, widths, bad)."""
+    errs = predictor_errors(sig, n, lp, num_samples)
+    zr = zero_run_lengths(errs, n, num_samples)
+    return rice_symbols(errs, zr, n, rp, num_samples)
