@@ -289,6 +289,38 @@ int64_t alac_pack_bits(const uint32_t* vals, const uint8_t* widths,
   return w.bitpos;
 }
 
+// Assemble whole coded frames from the device encoder's symbol planes
+// (ops/encode.py rice_symbols) + per-frame ragged header/extra fields.
+// Planes: v16 (B,S,2) marker fields, v32 (B,S,2) remainder fields,
+// wid (B,S,4) widths in emission order v0,v1,v2,v3; lane f is channel A
+// of frame f and lane F+f is channel B (stereo only). Output rows are
+// pre-zeroed (F, out_stride) bytes; returns per-frame end bit positions.
+void alac_pack_symbol_frames(
+    const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
+    const uint16_t* v16, const uint32_t* v32, const int8_t* wid,
+    const int32_t* n, const uint8_t* stereo, int64_t F, int64_t S,
+    uint8_t* out, int64_t out_stride, int64_t* end_bits) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t f = 0; f < F; ++f) {
+    BitWriter w(out + f * out_stride, 0);
+    for (int64_t i = h_off[f]; i < h_off[f + 1]; ++i) w.write(hv[i], hw[i]);
+    const int64_t nch = stereo[f] ? 2 : 1;
+    for (int64_t c = 0; c < nch; ++c) {
+      const int64_t lane = f + c * F;
+      const uint16_t* pv16 = v16 + lane * S * 2;
+      const uint32_t* pv32 = v32 + lane * S * 2;
+      const int8_t* pw = wid + lane * S * 4;
+      for (int64_t i = 0; i < n[f]; ++i) {
+        w.write(pv16[2 * i], uint8_t(pw[4 * i]));
+        w.write(pv32[2 * i], uint8_t(pw[4 * i + 1]));
+        w.write(pv16[2 * i + 1], uint8_t(pw[4 * i + 2]));
+        w.write(pv32[2 * i + 1], uint8_t(pw[4 * i + 3]));
+      }
+    }
+    end_bits[f] = w.bitpos;
+  }
+}
+
 // Rice-encode one channel's residuals (mirror of EntropyRiceDecode's
 // state machine, AlacFile.cs:214-252). Returns end bit position.
 int64_t alac_rice_encode(const int32_t* vals, int64_t n, int32_t rss,

@@ -70,15 +70,11 @@ def encode_frames_tpu(
     ub = cfg.uncompressed_bytes
     order = cfg.order
 
-    # ---- host prep: split/decorrelate/coefs per frame ----
+    # ---- host prep: vectorized split/decorrelate; per-frame coefs ----
     B = 2 * F  # channel-folded lanes: [A of all frames, B of all frames]
-    sig = np.zeros((B, S), np.int32)
-    ns = np.zeros(B, np.int32)
-    rss_l = np.zeros(B, np.int32)
-    coefs_all: list[list[int]] = [[] for _ in range(B)]
-    extras: list[np.ndarray] = []
-    headers: list[tuple[list[int], list[int]]] = []
+    ns_f = np.zeros(F, np.int32)
     stereo_f = np.zeros(F, bool)
+    padded = np.zeros((F, S, 2), np.int64)
     for f, pcm in enumerate(frames):
         pcm = np.asarray(pcm)
         if pcm.ndim == 1:
@@ -88,38 +84,50 @@ def encode_frames_tpu(
             raise ValueError(f"1 or 2 channels, got {nch}")
         if n > S:
             raise ValueError(f"frame of {n} samples exceeds {S}")
+        ns_f[f] = n
         stereo_f[f] = nch == 2
-        rss = params.sample_size - 8 * ub + (1 if nch == 2 else 0)
-        if nch == 1:
-            hi, extra = enc._split_extra(pcm[:, 0].astype(np.int64), ub)
-            chans = [hi]
-            extra_iv = extra.astype(np.int64)
-        else:
-            hi_l, extra_l = enc._split_extra(pcm[:, 0].astype(np.int64), ub)
-            hi_r, extra_r = enc._split_extra(pcm[:, 1].astype(np.int64), ub)
-            sh, lw = cfg.interlacing_shift, cfg.interlacing_leftweight
-            if lw != 0:
-                chan_b = hi_l - hi_r
-                chan_a = hi_r + ((chan_b * lw) >> sh)
-            else:
-                chan_a, chan_b = hi_l, hi_r
-            chans = [chan_a, chan_b]
-            extra_iv = np.stack([extra_l, extra_r], axis=1).reshape(-1)
+        padded[f, :n, :nch] = pcm
+    ub8 = 8 * ub
+    if ub:
+        hi = padded >> ub8
+        extra_pl = (padded & ((1 << ub8) - 1)).astype(np.uint32)
+    else:
+        hi = padded
+        extra_pl = None
+    sh, lw = cfg.interlacing_shift, cfg.interlacing_leftweight
+    chan_b = hi[:, :, 0] - hi[:, :, 1]
+    if lw != 0:
+        chan_a = hi[:, :, 1] + ((chan_b * lw) >> sh)
+    else:
+        chan_a, chan_b = hi[:, :, 0], hi[:, :, 1]
+    st = stereo_f[:, None]
+    sig = np.zeros((B, S), np.int32)
+    sig[:F] = np.where(st, chan_a, hi[:, :, 0]).astype(np.int32)
+    sig[F:] = np.where(st, chan_b, 0).astype(np.int32)
+    ns = np.concatenate([ns_f, np.where(stereo_f, ns_f, 0)]).astype(np.int32)
+    rss_l = np.concatenate(
+        [
+            params.sample_size - 8 * ub + stereo_f.astype(np.int32),
+        ] * 2
+    ).astype(np.int32)
+    coefs_all: list[list[int]] = []
+    headers: list[tuple[list[int], list[int]]] = []
+    for f in range(F):
+        nch = 2 if stereo_f[f] else 1
         coefs_per_ch = []
-        for c, chan in enumerate(chans):
-            lane = f + c * F
-            sig[lane, :n] = chan.astype(np.int32)
-            ns[lane] = n
-            rss_l[lane] = rss
-            coefs = enc._choose_coefs(chan, order)
-            coefs_all[lane] = coefs
-            coefs_per_ch.append(list(coefs))
-        extras.append(extra_iv if ub else np.zeros(0, np.int64))
-        headers.append(_header_bits(enc, n, nch, ub, coefs_per_ch))
+        for c in range(nch):
+            coefs_per_ch.append(
+                list(enc._choose_coefs(sig[f + c * F, : ns_f[f]], order))
+            )
+        coefs_all.append(coefs_per_ch[0])
+        coefs_all.append(coefs_per_ch[1] if nch == 2 else [])
+        headers.append(_header_bits(enc, int(ns_f[f]), nch, ub, coefs_per_ch))
+    # reorder coefs to lane layout [A..., B...]
+    coefs_lanes = coefs_all[0::2] + coefs_all[1::2]
 
     # ---- device: residuals + rice symbol planes (channel-folded) ----
     coef_tab = np.zeros((B, MAX_ORDER), np.int32)
-    for b, c in enumerate(coefs_all):
+    for b, c in enumerate(coefs_lanes):
         coef_tab[b, : len(c)] = c
     rc = reverse_coefs(coef_tab, np.full(B, order, np.int32))
     lp = LpcParams(
@@ -145,45 +153,63 @@ def encode_frames_tpu(
     )
     if bool(np.asarray(bad).any()):
         raise RuntimeError("encoder state desync: raw < 0")
-    # Reassemble the (B, S, 4) field order v0,v1,v2,v3 on the host.
-    v16 = np.asarray(v16_d).astype(np.uint16)
-    v32 = np.asarray(v32_d).astype(np.uint32)
-    vals_np = np.empty(v16.shape[:2] + (4,), np.uint32)
-    vals_np[..., 0] = v16[..., 0]
-    vals_np[..., 1] = v32[..., 0]
-    vals_np[..., 2] = v16[..., 1]
-    vals_np[..., 3] = v32[..., 1]
+    v16 = np.asarray(v16_d).view(np.uint16)
+    v32 = np.asarray(v32_d).view(np.uint32)
     widths_np = np.asarray(widths_d).astype(np.uint8)
 
-    # ---- host: per-frame variable-width packing ----
-    payloads = []
-    ub8 = 8 * ub
+    # ---- host: whole-batch variable-width packing (native, OpenMP) ----
+    hv_parts, hw_parts = [], []
+    h_lens = np.zeros(F + 1, np.int64)
     for f in range(F):
-        n = int(ns[f])
         hv, hw = headers[f]
-        parts_v = [np.asarray(hv, np.uint32)]
-        parts_w = [np.asarray(hw, np.uint8)]
+        hv_parts.append(np.asarray(hv, np.uint32))
+        hw_parts.append(np.asarray(hw, np.uint8))
+        extra_ct = 0
         if ub:
-            ev = extras[f].astype(np.uint32)
-            parts_v.append(ev)
-            parts_w.append(np.full(ev.size, ub8, np.uint8))
-        parts_v.append(vals_np[f, :n].reshape(-1))
-        parts_w.append(widths_np[f, :n].reshape(-1))
-        if stereo_f[f]:
-            parts_v.append(vals_np[F + f, :n].reshape(-1))
-            parts_w.append(widths_np[F + f, :n].reshape(-1))
-        allv = np.concatenate(parts_v)
-        allw = np.concatenate(parts_w)
-        cap_bits = int(allw.astype(np.int64).sum()) + 64
-        buf = np.zeros(cap_bits // 8 + 8, np.uint8)
-        end = native.pack_bits_native(allv, allw, buf, 0)
-        if end is None:  # pure-Python fallback
-            from .bitwriter import BitWriter
+            n = int(ns_f[f])
+            nch = 2 if stereo_f[f] else 1
+            ev = extra_pl[f, :n, :nch].reshape(-1)  # interleaved A,B
+            hv_parts.append(ev)
+            hw_parts.append(np.full(ev.size, ub8, np.uint8))
+            extra_ct = ev.size
+        h_lens[f + 1] = h_lens[f] + len(hv) + extra_ct
+    hv_all = np.concatenate(hv_parts)
+    hw_all = np.concatenate(hw_parts)
+    # Exact output sizes from the width planes.
+    live = np.arange(S)[None, :] < ns[:, None]
+    wsum = (widths_np.astype(np.int64).sum(axis=2) * live).sum(axis=1)
+    hbits = np.add.reduceat(
+        hw_all.astype(np.int64), h_lens[:-1]
+    ) if F else np.zeros(0, np.int64)
+    total_bits = hbits + wsum[:F] + wsum[F:]
+    out_stride = int(total_bits.max()) // 8 + 8 if F else 8
+    packed = native.pack_symbol_frames_native(
+        hv_all, hw_all, h_lens, v16, v32, widths_np.view(np.int8),
+        ns_f, stereo_f.astype(np.uint8), out_stride,
+    )
+    if packed is not None:
+        out, end_bits = packed
+        return [
+            out[f, : -(-int(end_bits[f]) // 8)].tobytes() for f in range(F)
+        ]
+    # pure-Python fallback (no native library)
+    from .bitwriter import BitWriter
 
-            w = BitWriter()
-            for v, wd in zip(allv.tolist(), allw.tolist()):
-                w.write(int(v), int(wd))
-            payloads.append(w.getvalue())
-            continue
-        payloads.append(buf[: -(-int(end) // 8)].tobytes())
+    payloads = []
+    for f in range(F):
+        w = BitWriter()
+        for v, wd in zip(
+            hv_all[h_lens[f] : h_lens[f + 1]].tolist(),
+            hw_all[h_lens[f] : h_lens[f + 1]].tolist(),
+        ):
+            w.write(int(v), int(wd))
+        n = int(ns_f[f])
+        lanes = [f, F + f] if stereo_f[f] else [f]
+        for lane in lanes:
+            for i in range(n):
+                w.write(int(v16[lane, i, 0]), int(widths_np[lane, i, 0]))
+                w.write(int(v32[lane, i, 0]), int(widths_np[lane, i, 1]))
+                w.write(int(v16[lane, i, 1]), int(widths_np[lane, i, 2]))
+                w.write(int(v32[lane, i, 1]), int(widths_np[lane, i, 3]))
+        payloads.append(w.getvalue())
     return payloads

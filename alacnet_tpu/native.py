@@ -31,6 +31,8 @@ _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 
 
 #: -fwrapv: the encoder core relies on wrapping int32 arithmetic (the
@@ -109,6 +111,13 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _I32P,
             ]
             lib.alac_predictor_errors.restype = None
+            lib.alac_pack_symbol_frames.argtypes = [
+                _U32P, _U8P, _I64P,
+                _U16P, _U32P, _I8P,
+                _I32P, _U8P, ctypes.c_int64, ctypes.c_int64,
+                _U8P, ctypes.c_int64, _I64P,
+            ]
+            lib.alac_pack_symbol_frames.restype = None
             _lib = lib
         except OSError:
             _lib = None
@@ -240,3 +249,34 @@ def predictor_errors_native(sig, coefs, order, quant, rss):
         np.int32(order), np.int32(quant), np.int32(rss), errs,
     )
     return errs
+
+
+def pack_symbol_frames_native(
+    hv, hw, h_off, v16, v32, wid, n, stereo, out_stride: int
+):
+    """Assemble coded frames from device-encoder symbol planes, or None.
+
+    Returns (out (F, out_stride) uint8, end_bits (F,) int64).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    F = len(n)
+    out = np.zeros((F, out_stride), np.uint8)
+    end_bits = np.zeros(F, np.int64)
+    lib.alac_pack_symbol_frames(
+        np.ascontiguousarray(hv, np.uint32),
+        np.ascontiguousarray(hw, np.uint8),
+        np.ascontiguousarray(h_off, np.int64),
+        np.ascontiguousarray(v16, np.uint16),
+        np.ascontiguousarray(v32, np.uint32),
+        np.ascontiguousarray(wid, np.int8),
+        np.ascontiguousarray(n, np.int32),
+        np.ascontiguousarray(stereo, np.uint8),
+        np.int64(F),
+        np.int64(v16.shape[1]),
+        out,
+        np.int64(out_stride),
+        end_bits,
+    )
+    return out, end_bits
