@@ -60,6 +60,42 @@ def _decode_and_account(words, meta, num_samples: int):
     return out, n, total_samples, checksum
 
 
+def decode_frames_spmd(
+    words,
+    meta: FrameMetaArrays,
+    mesh: Mesh,
+    num_samples: int,
+    use_fused: bool = False,
+    max_order: int = 31,
+    emit16: bool = False,
+):
+    """decode_frames over mesh-sharded inputs via shard_map.
+
+    Each device decodes its lane shard independently (zero collectives in
+    the decode math); shard_map — rather than bare jit-SPMD — so the
+    fused Pallas kernel runs per-shard without needing custom-call
+    partitioning rules.  Per-shard batch must satisfy the fused kernel's
+    lane granularity for ``use_fused`` (pipeline._fused_plan checks the
+    per-device batch when given a mesh).
+    """
+    spec = P(FRAME_AXIS)
+    meta_spec = FrameMetaArrays(*([spec] * len(meta)))
+
+    def fn(w, m):
+        return decode_frames(
+            w, m, num_samples,
+            use_fused=use_fused, max_order=max_order, emit16=emit16,
+        )
+
+    # check_vma=False: decode_frames' lax.cond fast-skips pair a varying
+    # compute branch with replicated zeros — sound here (the zeros are
+    # per-shard constants), but the vma type checker can't see that.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, meta_spec), out_specs=(spec, spec),
+        check_vma=False,
+    )(words, meta)
+
+
 def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
     """Decode a FrameBatch across every chip in the mesh.
 

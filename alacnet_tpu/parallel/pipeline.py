@@ -67,7 +67,7 @@ FUSED_MIN_BATCH = 1024
 FUSED_MAX_WORDS = 5888
 
 
-def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
+def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
     """Decide Pallas-vs-XLA and the static adaptive-walk bound.
 
     config.DEFAULT.kernel: "xla" forces the scan path; "fused" requires
@@ -78,8 +78,10 @@ def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
 
     from ..config import DEFAULT
 
+    per_shard = fb.batch // max(1, n_shards)
     eligible = (
-        fb.batch % FUSED_MIN_BATCH == 0
+        fb.batch % max(1, n_shards) == 0
+        and per_shard % FUSED_MIN_BATCH == 0
         and fb.words.shape[1] % 8 == 0
         and fb.words.shape[1] <= FUSED_MAX_WORDS
     )
@@ -94,19 +96,39 @@ def _fused_plan(fb: FrameBatch) -> tuple[bool, int]:
     return use, max_order
 
 
-def dispatch_frame_batch(fb: FrameBatch, max_samples: int):
+def dispatch_frame_batch(fb: FrameBatch, max_samples: int, mesh=None):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
     JAX dispatch is asynchronous, so the caller can keep parsing the next
     batch on the host while the device decodes this one (the host->device
     pipeline stage overlap, SURVEY.md §2.5 "PP").
+
+    ``mesh``: decode across a jax.sharding.Mesh — the lane axis shards
+    over every device (DP, SURVEY.md §2.5) with host arrays placed
+    straight onto their target shards.
     """
     from ..config import DEFAULT
 
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
-    use_fused, max_order = _fused_plan(fb)
+    n_shards = 1
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        if fb.batch % n_shards:
+            fb = pad_frame_batch(
+                fb, -(-fb.batch // n_shards) * n_shards
+            )
+    use_fused, max_order = _fused_plan(fb, n_shards)
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
+    if mesh is not None:
+        from .mesh import decode_frames_spmd, shard_frame_batch
+
+        words, meta = shard_frame_batch(fb, mesh)
+        out, n = decode_frames_spmd(
+            words, meta, mesh, max_samples,
+            use_fused=use_fused, max_order=max_order, emit16=emit16,
+        )
+        return out, n, orig_b
     meta = FrameMetaArrays.from_batch(fb)
     out, n = decode_frames(
         jnp.asarray(fb.words),
@@ -134,6 +156,7 @@ def decode_blob(
     batch_limit: int | None = None,
     strict: bool | None = None,
     sink=None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode frames addressed as (offset, size) into a raw byte blob.
 
@@ -141,6 +164,9 @@ def decode_blob(
     the native host runtime (alacnet_tpu/native.py) when available, with
     no per-frame Python objects.  Returns (samples, n, status) where
     ``status`` flags per-frame parse failures in lenient mode.
+
+    ``mesh``: shard every batch's lane axis across a jax.sharding.Mesh
+    (multi-chip DP decode; see parallel/mesh.py).
 
     ``sink``: optional device-side consumer ``sink(out, n, orig_b)``
     called with each batch's *device* arrays (padded, size-bucket order)
@@ -217,7 +243,7 @@ def decode_blob(
                 blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict,
                 nwords_multiple=WORD_BUCKET,
             )
-        out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples)
+        out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples, mesh=mesh)
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[lo:hi].sum()),
              fb.status[: hi - lo])

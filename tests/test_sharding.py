@@ -56,3 +56,31 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_decode_blob_over_mesh():
+    """The production blob pipeline sharded over the 8-device CPU mesh
+    equals the single-device decode bit-for-bit (round 2)."""
+    import numpy as np
+
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+    from alacnet_tpu.parallel.mesh import make_mesh
+    from alacnet_tpu.parallel.pipeline import decode_blob
+
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=128)
+    enc = AlacEncoder(params, EncoderConfig(order=4))
+    rng = np.random.default_rng(17)
+    payloads = [
+        enc.encode_frame(rng.integers(-3000, 3000, (128, 2)).astype(np.int32))
+        for _ in range(24)
+    ]
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
+    ref_out, ref_n, ref_st = decode_blob(blob, offsets, sizes, params, 128)
+    mesh = make_mesh()
+    out, n, st = decode_blob(blob, offsets, sizes, params, 128, mesh=mesh)
+    np.testing.assert_array_equal(out, ref_out)
+    np.testing.assert_array_equal(n, ref_n)
+    np.testing.assert_array_equal(st, ref_st)
