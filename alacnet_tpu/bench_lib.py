@@ -485,7 +485,7 @@ def _native_available() -> bool:
 
 def run_full_benchmark(repeats: int = 3) -> dict:
     """The driver benchmark: e2e pipeline + per-kind device numbers."""
-    e2e = run_e2e_benchmark(repeats=max(2, repeats - 1))
+    e2e = run_e2e_benchmark(repeats=max(3, repeats))
     kinds = {}
     parity = True
     fused = True
