@@ -95,10 +95,26 @@ class AlacContext:
         sizes = self._sizes[first:hi].astype(np.int64)
         lo_byte = int(offs.min())
         hi_byte = int((offs + sizes).max())
-        self._stream.seek(lo_byte)
-        blob = np.frombuffer(self._stream.read(hi_byte - lo_byte), np.uint8)
+        payload_bytes = int(sizes.sum())
+        span = hi_byte - lo_byte
+        if span <= max(4 * payload_bytes, 1 << 20):
+            self._stream.seek(lo_byte)
+            blob = np.frombuffer(self._stream.read(span), np.uint8)
+            blob_offs = offs - lo_byte
+        else:
+            # Sparse layout (interleaved tracks / large chunk gaps): a
+            # span read would pull the gaps into memory too.  Assemble a
+            # compact blob with one read per frame instead.
+            blob = np.empty(payload_bytes, np.uint8)
+            blob_offs = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+            for f in range(hi - first):
+                self._stream.seek(int(offs[f]))
+                chunk = self._stream.read(int(sizes[f]))
+                blob[int(blob_offs[f]) : int(blob_offs[f]) + len(chunk)] = (
+                    np.frombuffer(chunk, np.uint8)
+                )
         out, n, _ = decode_blob(
-            blob, offs - lo_byte, sizes, self.info.params,
+            blob, blob_offs, sizes, self.info.params,
             self.info.params.max_samples_per_frame,
         )
         self._cache_first = first

@@ -33,6 +33,7 @@ from .rice_lpc import (
     NP,
     U32,
     _window32,
+    flush_dynamic_tail,
     make_fetch_words,
     pick_sub,
 )
@@ -95,37 +96,15 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
         return (bitpos2, wp_new, R0n, R1n, R2n, R3n)
 
     carry = (start, wp0, R[0], R[1], R[2], R[3])
-    # Dynamic trip count + zero-filled tail, as in rice_lpc._kernel.
+    # Dynamic trip count + zero-filled tail (shared with rice_lpc._kernel).
     dynamic_stop = S % out_tile == 0
-    nmax = jnp.minimum(jnp.max(n), S) if dynamic_stop else S
+    nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
     carry = jax.lax.fori_loop(0, nmax, step, carry)
     if dynamic_stop:
-        @pl.when(nmax < S)
-        def _tail():
-            base = (nmax // out_tile) * out_tile
-            rem = nmax - base
-            row = jax.lax.broadcasted_iota(I32, (out_tile, sub, LN), 0)
-            ntiles = (S - base) // out_tile - 1
-            for t, dst in ((ta, outa_hbm), (tb, outb_hbm)):
-                t[:] = jnp.where(row < rem, t[:], 0)
-                c = pltpu.make_async_copy(
-                    t, dst.at[nb, pl.ds(base, out_tile)], sem_o
-                )
-                c.start()
-                c.wait()
-                t[:] = jnp.zeros((out_tile, sub, LN), I32)
-
-                def zbody(k, _):
-                    cz = pltpu.make_async_copy(
-                        t,
-                        dst.at[nb, pl.ds(base + (k + 1) * out_tile, out_tile)],
-                        sem_o,
-                    )
-                    cz.start()
-                    cz.wait()
-                    return 0
-
-                jax.lax.fori_loop(0, ntiles, zbody, 0)
+        flush_dynamic_tail(
+            [(ta, outa_hbm), (tb, outb_hbm)], nb, nmax, S, out_tile, sub,
+            sem_o,
+        )
     else:
         rem = S % out_tile
         for t, dst in ((ta, outa_hbm), (tb, outb_hbm)):

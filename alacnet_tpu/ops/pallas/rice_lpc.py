@@ -155,6 +155,40 @@ def make_fetch_words(wvmem, W8: int, sub: int):
     return fetch_words
 
 
+def flush_dynamic_tail(tiles_dsts, nb, processed, S: int, out_tile: int,
+                       sub: int, sem):
+    """Zero-fill and flush output rows [processed, S) after a dynamic-stop
+    sample loop (pallas outputs are uninitialized).  Requires out_tile | S
+    (full-tile writes stay in bounds).  tiles_dsts: [(tile_ref, hbm_ref)].
+    """
+    @pl.when(processed < S)
+    def _tail():
+        base = (processed // out_tile) * out_tile
+        rem = processed - base
+        row = jax.lax.broadcasted_iota(I32, (out_tile, sub, LN), 0)
+        ntiles = (S - base) // out_tile - 1
+        for tile, dst in tiles_dsts:
+            tile[:] = jnp.where(row < rem, tile[:], 0)
+            cp = pltpu.make_async_copy(
+                tile, dst.at[nb, pl.ds(base, out_tile)], sem
+            )
+            cp.start()
+            cp.wait()
+            tile[:] = jnp.zeros((out_tile, sub, LN), I32)
+
+            def zbody(k, _):
+                cpz = pltpu.make_async_copy(
+                    tile,
+                    dst.at[nb, pl.ds(base + (k + 1) * out_tile, out_tile)],
+                    sem,
+                )
+                cpz.start()
+                cpz.wait()
+                return 0
+
+            jax.lax.fori_loop(0, ntiles, zbody, 0)
+
+
 def _clz32(x):
     # Reference ladder semantics: clz(0) = 40 (AlacFile.cs:190).
     c = jax.lax.clz(x.astype(U32)).astype(I32)
@@ -260,17 +294,11 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             consumed_tot = consumed
         else:
             zcond = (hist2 < 128) & (i + 1 < n) & do
-            # The zero-run block-size decode matters only when some live
-            # lane's history fell below 128 (AlacFile.cs:231-249) — never
-            # for steady music/noise.  Gating it on a scalar any() keeps
-            # its dependency chain (hist2 -> kz -> event -> consumed)
-            # off the per-step critical path in the common case; with it
-            # inline the whole kernel ran ~12x slower (measured).
             # (hz+16)/64 as an arithmetic shift (the VPU has no int
-            # divide).  Exact because history is non-negative: it
-            # starts >= 0, dv >= 0, and mult = rm*(hm/4) <= 7*110 <
-            # 512 keeps h + dv*mult - ((h*mult)>>9) >= 0 (clamped to
-            # 0xFFFF above, AlacFile.cs:229).
+            # divide).  Exact because history is non-negative: it starts
+            # >= 0, dv >= 0, and mult = rm*(hm//4) <= 7*63 = 441 < 512
+            # keeps h + dv*mult - ((h*mult)>>9) >= h*(1 - mult/512) >= 0
+            # (clamped to 0xFFFF above, AlacFile.cs:229).
             kz = _clz32(hz) + _sra(hz + 16, jnp.full_like(hz, 6)) - 24
             # Semantically a no-op (_decode_event clips k to [1,31]) but
             # load-bearing for codegen: kz is otherwise unbounded (~1040
@@ -396,7 +424,9 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     # length frames would otherwise burn 75% of its steps on frozen
     # lanes).
     dynamic_stop = S % out_tile == 0  # tail zero-fill needs tile-aligned S
-    nmax = jnp.minimum(jnp.max(n), S) if dynamic_stop else S
+    # Clamp to [0, S]: a caller-supplied all-negative n (malformed hassize
+    # counts fed raw) must not drive a negative tail DMA offset.
+    nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
     # 2x-unrolled sample loop (amortizes loop mechanics ~10%; the body is
     # otherwise latency-bound on the per-sample dependency chain).
     if S % 2 == 0:
@@ -416,31 +446,9 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     # over the rest.  out_tile divides S, so full-tile writes stay in
     # bounds.
     if dynamic_stop:
-        @pl.when(processed < S)
-        def _tail():
-            base = (processed // out_tile) * out_tile
-            rem = processed - base
-            row = jax.lax.broadcasted_iota(I32, (out_tile, sub, LN), 0)
-            otile[:] = jnp.where(row < rem, otile[:], 0)
-            cp = pltpu.make_async_copy(
-                otile, out_hbm.at[nb, pl.ds(base, out_tile)], sem_o
-            )
-            cp.start()
-            cp.wait()
-            otile[:] = jnp.zeros((out_tile, sub, LN), I32)
-            ntiles = (S - base) // out_tile - 1
-
-            def zbody(t, _):
-                cpz = pltpu.make_async_copy(
-                    otile,
-                    out_hbm.at[nb, pl.ds(base + (t + 1) * out_tile, out_tile)],
-                    sem_o,
-                )
-                cpz.start()
-                cpz.wait()
-                return 0
-
-            jax.lax.fori_loop(0, ntiles, zbody, 0)
+        flush_dynamic_tail(
+            [(otile, out_hbm)], nb, processed, S, out_tile, sub, sem_o
+        )
     else:
         # Static loop to S; only the final partial tile needs flushing.
         rem_s = S % out_tile

@@ -319,3 +319,23 @@ class TestMalformedInputTermination:
         with open(dst, "rb") as f:
             got, rate, bits = read_wav(f)
         np.testing.assert_array_equal(got, pcm)
+
+    def test_sparse_chunk_gaps_bounded_memory(self):
+        """A file with huge chunk gaps must not balloon the window read
+        (round-2 review finding: span read covering the gaps)."""
+        from alacnet_tpu.codec.cookie import default_cookie
+        from alacnet_tpu.codec.encoder import AlacEncoder
+        from alacnet_tpu.container.mux import write_m4a
+
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=64)
+        enc = AlacEncoder(params, EncoderConfig(order=2))
+        pcm = tone(64 * 6, 2, 16)
+        frames = [enc.encode_frame(pcm[i * 64 : (i + 1) * 64]) for i in range(6)]
+        buf = io.BytesIO()
+        # 2 frames per chunk with 8 MB of dead bytes between chunks.
+        write_m4a(buf, params, frames, [64] * 6, frames_per_chunk=2,
+                  chunk_gap=8 << 20)
+        buf.seek(0)
+        with AlacContext(io.BytesIO(buf.getvalue()), window=6) as ctx:
+            out = ctx.read_all()
+        np.testing.assert_array_equal(out, pcm)
