@@ -573,14 +573,14 @@ def run_encode_benchmark(
     for v in vs:
         force = force + jnp.sum(v)
     force.item()
-    _, _, w0, _ = encode_stages(vs[-1], ns, lp, rp, S)
+    _, _, w0, _ = encode_stages(vs[-1], ns, lp, rp, S, max_order=6)
     jnp.sum(w0.astype(jnp.int32)).item()
 
     def chain(idxs):
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
         for r in idxs:
-            _, _, w, _ = encode_stages(vs[r], ns, lp, rp, S)
+            _, _, w, _ = encode_stages(vs[r], ns, lp, rp, S, max_order=6)
             acc = acc + jnp.sum(w[:, -1, :].astype(jnp.int32))
         acc.item()
         return time.perf_counter() - t0

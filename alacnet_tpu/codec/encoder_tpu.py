@@ -148,8 +148,9 @@ def encode_frames_tpu(
         ),
         kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
     )
+    max_order = 0 if order in (0, 31) else order
     v16_d, v32_d, widths_d, bad = encode_stages(
-        jnp.asarray(sig), n_dev, lp, rp, S
+        jnp.asarray(sig), n_dev, lp, rp, S, max_order=max_order
     )
     if bool(np.asarray(bad).any()):
         raise RuntimeError("encoder state desync: raw < 0")

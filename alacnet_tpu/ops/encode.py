@@ -48,23 +48,29 @@ def _clz32(x):
     return jnp.where(x == 0, jnp.full_like(c, 40), c)
 
 
-def predictor_errors(sig, n, params: LpcParams, num_samples: int):
+def predictor_errors(
+    sig, n, params: LpcParams, num_samples: int, max_order: int = MAX_ORDER
+):
     """Residuals whose decode reproduces ``sig`` bit-exactly.
 
     sig: (B, S) int32 channel values (decorrelated, extra-bits split
     off); n: (B,) valid counts; params as for ops/lpc.lpc_decode (rc in
     the base-aligned reversed layout, mutated in-scan like the decoder's
-    table).  Returns errs (B, S) int32.
+    table).  ``max_order`` statically bounds the FIR width and adaptive
+    walk (orders 1..max_order; order 31 = pure integration needs no
+    window) — the default 31 costs ~3x on typical order-6 content.
+    Returns errs (B, S) int32.
     """
     order = params.order.astype(I32)
     quant = params.quant.astype(I32)
     rss = params.rss.astype(I32)
     B = sig.shape[0]
+    tmax = max_order
 
     is_pass = order == 0
     is_int31 = order == MAX_ORDER
     append_hot = (
-        jnp.arange(MAX_ORDER + 1, dtype=I32)[None, :] == order[:, None]
+        jnp.arange(tmax + 1, dtype=I32)[None, :] == order[:, None]
     )
     qshift = (quant - 1) & 31
     one = jnp.ones((), I32)
@@ -93,8 +99,8 @@ def predictor_errors(sig, n, params: LpcParams, num_samples: int):
         pos_b = do_adapt & (err > 0)
         neg_b = do_adapt & (err < 0)
         ev = err
-        rc_cols = [rc[:, t] for t in range(MAX_ORDER + 1)]
-        for t in range(MAX_ORDER):
+        rc_cols = [rc[:, t] for t in range(tmax + 1)]
+        for t in range(tmax):
             act_p = pos_b & (t < order) & (ev > 0)
             act_n = neg_b & (t < order) & (ev < 0)
             act = act_p | act_n
@@ -117,8 +123,8 @@ def predictor_errors(sig, n, params: LpcParams, num_samples: int):
 
     # i = 0: err[0] = sig[0] verbatim (AlacFile.cs first-sample copy).
     x0 = sig_t[0]
-    D0 = jnp.where(append_hot, x0[:, None], jnp.zeros((B, MAX_ORDER + 1), I32))
-    init = (x0, D0, params.rc.astype(I32))
+    D0 = jnp.where(append_hot, x0[:, None], jnp.zeros((B, tmax + 1), I32))
+    init = (x0, D0, params.rc.astype(I32)[:, : tmax + 1])
     xs = (jnp.arange(1, num_samples, dtype=I32), sig_t[1:])
     (_, _, _), errs = jax.lax.scan(step, init, xs)
     err0 = jnp.where(n > 0, x0, jnp.zeros_like(x0))
@@ -261,10 +267,11 @@ def rice_symbols(errs, zruns, n, params: RiceEncParams, num_samples: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
-def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int):
+@functools.partial(jax.jit, static_argnames=("num_samples", "max_order"))
+def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
+                  max_order: int = MAX_ORDER):
     """One-dispatch device encode: residuals -> zero-run lookahead ->
     rice symbol planes.  Returns (vals16, vals32, widths, bad)."""
-    errs = predictor_errors(sig, n, lp, num_samples)
+    errs = predictor_errors(sig, n, lp, num_samples, max_order=max_order)
     zr = zero_run_lengths(errs, n, num_samples)
     return rice_symbols(errs, zr, n, rp, num_samples)
