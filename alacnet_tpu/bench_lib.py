@@ -401,36 +401,34 @@ def run_e2e_benchmark(
         return total, dt
 
     def _stage(blob, offsets, sizes):
-        from .codec.framemeta_vec import parse_frame_headers_blob
-        from .ops.frame_decode import FrameMetaArrays
-        from .parallel.pipeline import (
-            WORD_BUCKET, _fused_plan, pad_frame_batch,
-        )
+        """Pre-stage inputs exactly as the production pipeline batches
+        them (plan_blob_batches: eligibility/order/size lane ordering,
+        packed metadata matrix)."""
+        from .parallel.pipeline import _fused_plan, plan_blob_batches
 
-        perm = np.argsort(sizes, kind="stable")
-        offs, szs = offsets[perm], sizes[perm]
+        perm, _, spans, span_batch = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit, strict=True
+        )
         staged = []
-        for lo in range(0, len(offs), batch_limit):
-            hi = min(lo + batch_limit, len(offs))
-            fb = parse_frame_headers_blob(
-                blob, offs[lo:hi], szs[lo:hi], params,
-                nwords_multiple=WORD_BUCKET,
-            )
-            fb = pad_frame_batch(fb)
+        for lo, hi in spans:
+            fb = pad_frame_batch(span_batch(perm[lo:hi]))
             use_fused, max_order = _fused_plan(fb)
             staged.append(
-                (jnp.asarray(fb.words), FrameMetaArrays.from_batch(fb),
+                (jnp.asarray(fb.words),
+                 jnp.asarray(FrameMetaArrays.pack_host(fb)),
                  use_fused, max_order)
             )
         jax.block_until_ready([s[0] for s in staged])
         return staged
 
     def _decode_staged(staged):
-        from .ops.frame_decode import decode_frames
+        from .ops.frame_decode import decode_frames_packed
 
         acc = jnp.zeros((), jnp.int32)
         for w, mv, uf, mo in staged:
-            _, n = decode_frames(w, mv, frame_samples, use_fused=uf, max_order=mo)
+            _, n = decode_frames_packed(
+                w, mv, frame_samples, use_fused=uf, max_order=mo
+            )
             acc = _account(n, acc)
         acc.block_until_ready()
 

@@ -47,6 +47,7 @@ def parse_frame_headers_vec(
     params_per_frame: list[CodecParams] | CodecParams,
     max_bytes: int | None = None,
     strict: bool = True,
+    pack_words: bool = True,
 ) -> FrameBatch:
     """Vectorized twin of parse_frame_headers (same contract).
 
@@ -174,7 +175,12 @@ def parse_frame_headers_vec(
     if bad.any():
         n_samples = np.where(bad, 0, n_samples)
         is_compressed = is_compressed & ~bad
-    words = pack_frames_to_words(payloads, max_bytes)
+    if pack_words:
+        words = pack_frames_to_words(payloads, max_bytes)
+    else:
+        # Header-only parse (e.g. the order-aware batching pre-pass in
+        # parallel/pipeline.decode_blob): words are packed later per span.
+        words = np.zeros((B, 0), np.uint32)
     return FrameBatch(
         words=words,
         is_stereo=is_stereo,
@@ -218,6 +224,15 @@ def _cookie_arrays(B: int, params_per_frame):
     )
 
 
+def words_width(max_bytes: int, nwords_multiple: int = 8) -> int:
+    """Packed word-row width for frames up to ``max_bytes`` coded bytes
+    (rounds up and appends the bit-reader's overrun slack)."""
+    from ..ops.bitreader import WINDOW_PAD
+
+    m = max(8, nwords_multiple)
+    return -(-(-(-max_bytes // 4) + WINDOW_PAD) // m) * m
+
+
 def parse_frame_headers_blob(
     blob: np.ndarray,
     offsets: np.ndarray,
@@ -226,6 +241,7 @@ def parse_frame_headers_blob(
     max_bytes: int | None = None,
     strict: bool = True,
     nwords_multiple: int = 8,
+    pack_words: bool = True,
 ) -> FrameBatch:
     """Blob-based front door: native C++ pack+parse when available.
 
@@ -250,7 +266,9 @@ def parse_frame_headers_blob(
         payloads = [
             blob[o : o + s].tobytes() for o, s in zip(offsets, sizes)
         ]
-        return parse_frame_headers_vec(payloads, params_per_frame, max_bytes, strict)
+        return parse_frame_headers_vec(
+            payloads, params_per_frame, max_bytes, strict, pack_words
+        )
     if parsed["first_bad"] >= 0:
         if strict:
             b = parsed["first_bad"]
@@ -265,13 +283,13 @@ def parse_frame_headers_blob(
         bad = parsed["status"] != 0
         parsed["n_samples"] = np.where(bad, 0, parsed["n_samples"])
         parsed["is_compressed"] = np.where(bad, 0, parsed["is_compressed"])
-    if max_bytes is None:
-        max_bytes = int(sizes.max()) if B else 0
-    from ..ops.bitreader import WINDOW_PAD
-
-    m = max(8, nwords_multiple)
-    nwords = -(-(-(-max_bytes // 4) + WINDOW_PAD) // m) * m
-    words = native.pack_frames_native(blob, offsets, sizes, nwords)
+    if pack_words:
+        if max_bytes is None:
+            max_bytes = int(sizes.max()) if B else 0
+        nwords = words_width(max_bytes, nwords_multiple)
+        words = native.pack_frames_native(blob, offsets, sizes, nwords)
+    else:
+        words = np.zeros((B, 0), np.uint32)
     return FrameBatch(
         words=words,
         is_stereo=parsed["is_stereo"].astype(bool),

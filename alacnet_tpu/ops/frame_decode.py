@@ -82,6 +82,57 @@ class FrameMetaArrays(NamedTuple):
     def from_batch(cls, fb) -> "FrameMetaArrays":
         return cls(*(jnp.asarray(x) for x in cls.host_arrays(fb)))
 
+    #: Columns of the packed (B, N_PACKED) int32 transfer layout:
+    #: 10 scalar fields, kmod/init_history/kmask, order/quant/rice_mult
+    #: (2 each), rc (2*32).  One matrix = ONE host->device transfer per
+    #: batch instead of 17 — transfer setup (and, over this environment's
+    #: relay, a ~30 ms round trip per array) dominates the pipeline wall
+    #: otherwise.
+    N_PACKED = 13 + 6 + 64
+
+    @classmethod
+    def pack_host(cls, fb) -> "np.ndarray":
+        """FrameBatch -> one (B, N_PACKED) int32 host matrix."""
+        import numpy as np
+
+        h = cls.host_arrays(fb)
+        B = h[0].shape[0]
+        out = np.empty((B, cls.N_PACKED), np.int32)
+        for i in range(10):  # is_stereo .. entropy_pos
+            out[:, i] = h[i]
+        out[:, 10] = h[14]  # kmod
+        out[:, 11] = h[15]  # init_history
+        out[:, 12] = h[16]  # kmask
+        out[:, 13:15] = h[10]  # order
+        out[:, 15:17] = h[11]  # quant
+        out[:, 17:19] = h[12]  # rice_mult
+        out[:, 19:83] = h[13].reshape(B, 64)  # rc
+        return out
+
+    @classmethod
+    def unpack(cls, packed) -> "FrameMetaArrays":
+        """Device-side view of a packed matrix (free inside jit)."""
+        B = packed.shape[0]
+        return cls(
+            is_stereo=packed[:, 0].astype(bool),
+            is_compressed=packed[:, 1].astype(bool),
+            n_samples=packed[:, 2],
+            sample_size=packed[:, 3],
+            ub=packed[:, 4],
+            rss=packed[:, 5],
+            interlacing_shift=packed[:, 6],
+            interlacing_leftweight=packed[:, 7],
+            payload_pos=packed[:, 8],
+            entropy_pos=packed[:, 9],
+            order=packed[:, 13:15],
+            quant=packed[:, 15:17],
+            rice_mult=packed[:, 17:19],
+            rc=packed[:, 19:83].reshape(B, 2, 32),
+            kmod=packed[:, 10],
+            init_history=packed[:, 11],
+            kmask=packed[:, 12],
+        )
+
 
 def _extra_bits(words, m: FrameMetaArrays, S: int):
     """Extra-bits side channel, interleaved A,B per sample (:634-641)."""
@@ -137,6 +188,29 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "use_fused", "max_order", "emit16")
 )
+def decode_frames_packed(
+    words,
+    packed_meta,
+    num_samples: int,
+    use_fused: bool = False,
+    max_order: int = 31,
+    emit16: bool = False,
+):
+    """decode_frames with metadata as one packed (B, N_PACKED) matrix.
+
+    The production transfer path: the caller ships ``words`` plus ONE
+    int32 matrix (FrameMetaArrays.pack_host) and the unpack happens
+    inside the executable — one H2D per batch instead of 17 small ones.
+    """
+    return _decode_frames_impl(
+        words, FrameMetaArrays.unpack(packed_meta), num_samples,
+        use_fused=use_fused, max_order=max_order, emit16=emit16,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "use_fused", "max_order", "emit16")
+)
 def decode_frames(
     words,
     meta: FrameMetaArrays,
@@ -160,6 +234,20 @@ def decode_frames(
     ~6x the XLA scan path on v5e.  ``max_order`` statically bounds the
     adaptive-FIR walks in the fused kernel.
     """
+    return _decode_frames_impl(
+        words, meta, num_samples,
+        use_fused=use_fused, max_order=max_order, emit16=emit16,
+    )
+
+
+def _decode_frames_impl(
+    words,
+    meta: FrameMetaArrays,
+    num_samples: int,
+    use_fused: bool = False,
+    max_order: int = 31,
+    emit16: bool = False,
+):
     S = num_samples
     B = words.shape[0]
     words = words.astype(U32)

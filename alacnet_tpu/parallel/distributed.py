@@ -76,11 +76,10 @@ def shard_frame_batch_global(fb_local, mesh: Mesh):
     words = jax.make_array_from_process_local_data(
         sh, np.ascontiguousarray(fb_local.words)
     )
-    meta = FrameMetaArrays(
-        *(
-            jax.make_array_from_process_local_data(sh, x)
-            for x in FrameMetaArrays.host_arrays(fb_local)
-        )
+    # Metadata travels as ONE packed matrix per process (two local
+    # transfers per batch total; see FrameMetaArrays.pack_host).
+    meta = jax.make_array_from_process_local_data(
+        sh, FrameMetaArrays.pack_host(fb_local)
     )
     return words, meta
 

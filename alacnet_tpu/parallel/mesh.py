@@ -33,7 +33,9 @@ def make_mesh(devices=None) -> Mesh:
 def shard_frame_batch(fb, mesh: Mesh):
     """Place a padded FrameBatch onto the mesh, lane axis sharded.
 
-    The host NumPy arrays go straight to their target shards
+    Returns (words, packed_meta) — metadata travels as ONE packed int32
+    matrix (FrameMetaArrays.pack_host): two transfers per batch instead
+    of 18, and each goes straight to its target shards
     (``device_put(np_array, sharding)``) — no ``jnp.asarray`` detour,
     which would first commit every array to the *default* device (a
     wasted full-batch H2D + reshard on a real mesh, and a crash when the
@@ -41,20 +43,20 @@ def shard_frame_batch(fb, mesh: Mesh):
     """
     sh = NamedSharding(mesh, P(FRAME_AXIS))
     words = jax.device_put(np.ascontiguousarray(fb.words), sh)
-    meta = FrameMetaArrays(
-        *(jax.device_put(x, sh) for x in FrameMetaArrays.host_arrays(fb))
-    )
+    meta = jax.device_put(FrameMetaArrays.pack_host(fb), sh)
     return words, meta
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
-def _decode_and_account(words, meta, num_samples: int):
+def _decode_and_account(words, packed_meta, num_samples: int):
     """Sharded decode + the cross-chip accounting collectives.
 
     The decode itself is embarrassingly parallel; the sample count and a
     PCM checksum are global reductions (XLA inserts psums over ICI).
     """
-    out, n = decode_frames(words, meta, num_samples)
+    out, n = decode_frames(
+        words, FrameMetaArrays.unpack(packed_meta), num_samples
+    )
     total_samples = jnp.sum(n.astype(jnp.int32))
     checksum = jnp.sum(out.astype(jnp.int32))  # wraps mod 2^32 (x64 disabled)
     return out, n, total_samples, checksum
@@ -62,7 +64,7 @@ def _decode_and_account(words, meta, num_samples: int):
 
 def decode_frames_spmd(
     words,
-    meta: FrameMetaArrays,
+    packed_meta,
     mesh: Mesh,
     num_samples: int,
     use_fused: bool = False,
@@ -71,6 +73,7 @@ def decode_frames_spmd(
 ):
     """decode_frames over mesh-sharded inputs via shard_map.
 
+    ``packed_meta`` is the (B, N_PACKED) matrix from shard_frame_batch.
     Each device decodes its lane shard independently (zero collectives in
     the decode math); shard_map — rather than bare jit-SPMD — so the
     fused Pallas kernel runs per-shard without needing custom-call
@@ -79,11 +82,10 @@ def decode_frames_spmd(
     per-device batch when given a mesh).
     """
     spec = P(FRAME_AXIS)
-    meta_spec = FrameMetaArrays(*([spec] * len(meta)))
 
     def fn(w, m):
         return decode_frames(
-            w, m, num_samples,
+            w, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
         )
 
@@ -91,9 +93,9 @@ def decode_frames_spmd(
     # compute branch with replicated zeros — sound here (the zeros are
     # per-shard constants), but the vma type checker can't see that.
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, meta_spec), out_specs=(spec, spec),
+        fn, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
         check_vma=False,
-    )(words, meta)
+    )(words, packed_meta)
 
 
 def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):

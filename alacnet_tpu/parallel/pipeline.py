@@ -17,7 +17,7 @@ import numpy as np
 from ..codec.cookie import CodecParams
 from ..codec.framemeta import FrameBatch
 from ..codec.framemeta_vec import parse_frame_headers_vec as parse_frame_headers
-from ..ops.frame_decode import FrameMetaArrays, decode_frames
+from ..ops.frame_decode import FrameMetaArrays, decode_frames_packed
 
 #: Lane-count buckets (powers of two up to the per-chip flight size from
 #: BASELINE.json: "4096 frames in flight per chip").
@@ -66,6 +66,9 @@ FUSED_MIN_BATCH = 1024
 #: at the old 2900-word cap fell to the ~50x slower XLA path.
 FUSED_MAX_WORDS = 5888
 
+#: Static max_order values _fused_plan rounds up to (ordered).
+_ORDER_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 30)
+
 
 def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
     """Decide Pallas-vs-XLA and the static adaptive-walk bound.
@@ -93,6 +96,11 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
         use = eligible and jax.default_backend() == "tpu"
     orders = fb.order[fb.order != 31]
     max_order = int(orders.max()) if orders.size else 0
+    # Round up to a small ladder: max_order is a static kernel argument,
+    # so every distinct value is a separate XLA executable (~20-40 s cold
+    # compile).  The ladder bounds executable count while keeping the
+    # FIR/adaptive-walk loops near-tight (orders above 8 are rare).
+    max_order = next(b for b in _ORDER_BUCKETS if b >= max_order)
     return use, max_order
 
 
@@ -129,10 +137,11 @@ def dispatch_frame_batch(fb: FrameBatch, max_samples: int, mesh=None):
             use_fused=use_fused, max_order=max_order, emit16=emit16,
         )
         return out, n, orig_b
-    meta = FrameMetaArrays.from_batch(fb)
-    out, n = decode_frames(
+    # Two H2D transfers per batch (words + one packed metadata matrix):
+    # per-array transfer setup otherwise dominates the pipeline wall.
+    out, n = decode_frames_packed(
         jnp.asarray(fb.words),
-        meta,
+        jnp.asarray(FrameMetaArrays.pack_host(fb)),
         max_samples,
         use_fused=use_fused,
         max_order=max_order,
@@ -145,6 +154,86 @@ def decode_frame_batch(fb: FrameBatch, max_samples: int) -> tuple[np.ndarray, np
     """Decode a parsed FrameBatch -> (samples (B, S, 2) int32, n (B,))."""
     out, n, orig_b = dispatch_frame_batch(fb, max_samples)
     return np.asarray(out[:orig_b]), np.asarray(n[:orig_b])
+
+
+def plan_blob_batches(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    sizes: np.ndarray,
+    params: list[CodecParams] | CodecParams,
+    batch_limit: int,
+    strict: bool,
+):
+    """Batch planning for blob decode: header pre-pass + lane ordering.
+
+    Parses every frame's header once (native, no word packing — ~0.5
+    us/frame), then orders lanes by three keys (SURVEY.md §2.5 "EP" —
+    variant routing):
+
+      1. **fused-kernel eligibility**: frames too fat for the kernel's
+         VMEM word table batch separately, so one oversized frame can't
+         push a whole batch onto the XLA fallback;
+      2. **LPC order**: the fused kernel's FIR + adaptive-walk loops run
+         to the *batch's* max order (static), so one order-8 frame makes
+         every lane in its batch pay 8 taps — order-clustered batches
+         keep max_order tight (order 31 is pure integration: key 0);
+      3. **coded size**: the kernel's group-sweep word fetch cost within
+         a 1024-lane block scales with the *spread* of per-lane bit
+         consumption, and batches share a word-width bucket.
+
+    Returns (perm, inv, spans, span_batch) where ``spans`` are
+    [lo, hi) index ranges into ``perm`` and ``span_batch(perm[lo:hi])``
+    assembles that batch (sliced pre-parsed headers + per-span native
+    word packing).  Callers unsort outputs with ``inv``.
+    """
+    import dataclasses
+
+    from ..codec.framemeta import FrameBatch
+    from ..codec.framemeta_vec import parse_frame_headers_blob, words_width
+    from ..ops.bitreader import WINDOW_PAD
+
+    F = len(offsets)
+    offsets = np.asarray(offsets)
+    sizes = np.asarray(sizes)
+    hdr = parse_frame_headers_blob(
+        blob, offsets, sizes, params, strict=strict, pack_words=False
+    )
+    cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
+    cap_bytes = (cap_w - WINDOW_PAD) * 4
+    elig = sizes <= cap_bytes
+    okey = np.where(hdr.order >= 31, 0, hdr.order).max(axis=1)
+    perm = np.lexsort((sizes, okey, ~elig))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(F)
+    boundaries = sorted({0, int(elig.sum()), F})
+    spans = [
+        (lo, min(lo + batch_limit, b_hi))
+        for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:])
+        for lo in range(b_lo, b_hi, batch_limit)
+    ]
+    hdr_fields = [
+        f.name for f in dataclasses.fields(FrameBatch) if f.name != "words"
+    ]
+
+    def span_batch(idx: np.ndarray) -> FrameBatch:
+        """Assemble one batch: sliced pre-parsed headers + packed words."""
+        from .. import native
+        from ..ops.bitreader import pack_frames_to_words
+
+        offs = np.ascontiguousarray(offsets[idx])
+        szs = np.ascontiguousarray(sizes[idx])
+        nwords = words_width(int(szs.max()) if len(szs) else 0, WORD_BUCKET)
+        words = native.pack_frames_native(blob, offs, szs, nwords)
+        if words is None:
+            words = pack_frames_to_words(
+                [blob[o : o + s].tobytes() for o, s in zip(offs, szs)]
+            )
+            words = np.pad(words, ((0, 0), (0, nwords - words.shape[1])))
+        return FrameBatch(
+            words=words, **{f: getattr(hdr, f)[idx] for f in hdr_fields}
+        )
+
+    return perm, inv, spans, span_batch
 
 
 def decode_blob(
@@ -175,7 +264,6 @@ def decode_blob(
     transfer).  With a sink the returned samples/n are empty; ``status``
     is still per-frame in original order.
     """
-    from ..codec.framemeta_vec import parse_frame_headers_blob
     from ..config import DEFAULT
     from ..utils.observability import GLOBAL_STATS, trace_span
 
@@ -183,32 +271,11 @@ def decode_blob(
         batch_limit = DEFAULT.batch_limit
     if strict is None:
         strict = DEFAULT.strict
-    F = len(offsets)
-    # Size-sorted batching: batches share a word-width bucket, so one fat
-    # frame doesn't widen (or de-eligibilize from the fused kernel) a
-    # whole mixed batch, and lanes within a kernel block stay
-    # divergence-bounded. Outputs are unsorted at the end.
-    # Exact-size sort (not bucket-granular): coded size is the bit-rate
-    # proxy, and the fused kernel's group-sweep word fetch cost within a
-    # 1024-lane block scales with the *spread* of per-lane consumption —
-    # a silence lane sharing a block with a loud-music lane makes every
-    # step sweep the whole span between them (ops/pallas/rice_lpc.py).
-    perm = np.argsort(sizes, kind="stable")
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(F)
-    offsets = np.asarray(offsets)[perm]
-    sizes = np.asarray(sizes)[perm]
-    if not isinstance(params, CodecParams):
-        params = [params[i] for i in perm]
-    # Never mix fused-eligible frames with frames too fat for the kernel's
-    # VMEM word table: force a batch boundary at the eligibility cutoff so
-    # one oversized frame can't push a whole batch onto the XLA fallback.
-    from ..ops.bitreader import WINDOW_PAD
-
-    cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
-    cap_bytes = (cap_w - WINDOW_PAD) * 4
-    cut = int(np.searchsorted(sizes, cap_bytes, side="right"))
-    boundaries = sorted({0, cut, F})
+    sizes = np.asarray(sizes)
+    with trace_span("alac.host.parse", "host_seconds"):
+        perm, inv, spans, span_batch = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit, strict
+        )
     outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).
@@ -231,21 +298,13 @@ def decode_blob(
         ns.append(n)
         sts.append(status)
 
-    spans = [
-        (lo, min(lo + batch_limit, b_hi))
-        for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:])
-        for lo in range(b_lo, b_hi, batch_limit)
-    ]
     for lo, hi in spans:
-        p = params if isinstance(params, CodecParams) else params[lo:hi]
+        idx = perm[lo:hi]
         with trace_span("alac.host.parse", "host_seconds"):
-            fb = parse_frame_headers_blob(
-                blob, offsets[lo:hi], sizes[lo:hi], p, strict=strict,
-                nwords_multiple=WORD_BUCKET,
-            )
+            fb = span_batch(idx)
         out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples, mesh=mesh)
         pending.append(
-            (out_d, n_d, orig_b, hi - lo, int(sizes[lo:hi].sum()),
+            (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),
              fb.status[: hi - lo])
         )
         if len(pending) >= 2:
