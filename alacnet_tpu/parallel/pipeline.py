@@ -167,19 +167,27 @@ def plan_blob_batches(
     """Batch planning for blob decode: header pre-pass + lane ordering.
 
     Parses every frame's header once (native, no word packing — ~0.5
-    us/frame), then orders lanes by three keys (SURVEY.md §2.5 "EP" —
+    us/frame), then orders lanes by two keys (SURVEY.md §2.5 "EP" —
     variant routing):
 
       1. **fused-kernel eligibility**: frames too fat for the kernel's
          VMEM word table batch separately, so one oversized frame can't
          push a whole batch onto the XLA fallback;
-      2. **LPC order**: the fused kernel's FIR + adaptive-walk loops run
-         to the *batch's* max order (static), so one order-8 frame makes
-         every lane in its batch pay 8 taps — order-clustered batches
-         keep max_order tight (order 31 is pure integration: key 0);
-      3. **coded size**: the kernel's group-sweep word fetch cost within
+      2. **coded size**: the kernel's group-sweep word fetch cost within
          a 1024-lane block scales with the *spread* of per-lane bit
-         consumption, and batches share a word-width bucket.
+         consumption, batches share a word-width bucket, and each span's
+         word-table width (which sets the kernel's lane-tile width,
+         ops/pallas/rice_lpc.pick_sub) stays as narrow as its own frames
+         allow.
+
+    Order-clustered batching (primary key = LPC order, to tighten each
+    span's static max_order) was measured and REJECTED: mixing tiny and
+    fat frames in one span widens its word table, which narrows the lane
+    tile for every lane — 80 ms vs 69 ms on the mixed e2e corpus against
+    this size-primary plan, despite max_orders [4,4,8] vs [8,8,6]
+    (scripts/abtest_orderplan.py on v5e).  Size-sorting already clusters
+    orders as a side effect (coded size tracks predictability), and
+    _fused_plan computes max_order per span either way.
 
     Returns (perm, inv, spans, span_batch) where ``spans`` are
     [lo, hi) index ranges into ``perm`` and ``span_batch(perm[lo:hi])``
@@ -201,8 +209,7 @@ def plan_blob_batches(
     cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
     cap_bytes = (cap_w - WINDOW_PAD) * 4
     elig = sizes <= cap_bytes
-    okey = np.where(hdr.order >= 31, 0, hdr.order).max(axis=1)
-    perm = np.lexsort((sizes, okey, ~elig))
+    perm = np.lexsort((sizes, ~elig))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
     boundaries = sorted({0, int(elig.sum()), F})

