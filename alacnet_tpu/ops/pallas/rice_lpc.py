@@ -306,6 +306,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             # variable shift through a slow >=32-safe path — measured 12x
             # on the whole kernel (74ms -> 6ms per music pass).
             kz = jnp.minimum(kz, 31)
+            # (Branching this block on a scalar any(zcond) via lax.cond
+            # was measured SLOWER everywhere — music 6.35 ms vs 4.60,
+            # silence 3.04 vs 1.56: the per-step cross-lane reduce +
+            # scf.if overhead exceeds the ~30 ops it skips.)
             bsize, bcons = _decode_event(
                 R, roff, consumed, jnp.full_like(rss, 16), kz, kmask
             )
@@ -428,14 +432,19 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     # counts fed raw) must not drive a negative tail DMA offset.
     nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
     # 2x-unrolled sample loop (amortizes loop mechanics ~10%; the body is
-    # otherwise latency-bound on the per-sample dependency chain).
-    if S % 2 == 0:
-        def step2(j, c):
-            return step(2 * j + 1, step(2 * j, c))
+    # otherwise latency-bound on the per-sample dependency chain).  4x was
+    # measured SLOWER (music 5.02 ms vs 4.60 ms, silence 1.83 vs 1.56 —
+    # register pressure; orders tied): keep 2x.
+    unroll = 2 if S % 2 == 0 else 1
+    if unroll > 1:
+        def stepu(j, c):
+            for u in range(unroll):
+                c = step(unroll * j + u, c)
+            return c
 
-        half = (nmax + 1) // 2  # may overshoot nmax by 1 (masked step)
-        carry = jax.lax.fori_loop(0, half, step2, carry)
-        processed = 2 * half
+        trips = (nmax + unroll - 1) // unroll  # may overshoot (masked steps)
+        carry = jax.lax.fori_loop(0, trips, stepu, carry)
+        processed = unroll * trips
     else:
         carry = jax.lax.fori_loop(0, nmax, step, carry)
         processed = nmax
