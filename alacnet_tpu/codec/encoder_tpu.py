@@ -47,17 +47,28 @@ def encode_frames_tpu(
     frames: list[np.ndarray],
     params: CodecParams,
     config: EncoderConfig | None = None,
+    timings: dict | None = None,
 ) -> list[bytes]:
     """Encode PCM frames ((n, ch) int32 each) in one device batch.
 
     Compressed path only (``force_uncompressed`` frames have no
     sequential stage worth a device trip — use AlacEncoder).  Frames may
     mix mono/stereo and lengths up to params.max_samples_per_frame.
+
+    ``timings``: optional dict that receives per-stage wall times —
+    ``prep_s`` (host prep incl. Levinson), ``emit_wait_s`` (device
+    dispatch + blocking symbol-plane readback; on a tunneled chip the
+    D2H dominates — ``plane_bytes`` records the transfer size),
+    ``pack_s`` (host variable-width packing).
     """
+    import time as _time
+
     import jax.numpy as jnp
 
     from .. import native
     from ..ops.encode import RiceEncParams, encode_stages
+
+    _t0 = _time.perf_counter()
 
     cfg = config or EncoderConfig()
     if cfg.force_uncompressed:
@@ -149,6 +160,7 @@ def encode_frames_tpu(
         kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
     )
     max_order = 0 if order in (0, 31) else order
+    _t1 = _time.perf_counter()
     v16_d, v32_d, widths_d, bad = encode_stages(
         jnp.asarray(sig), n_dev, lp, rp, S, max_order=max_order
     )
@@ -157,6 +169,11 @@ def encode_frames_tpu(
     v16 = np.asarray(v16_d).view(np.uint16)
     v32 = np.asarray(v32_d).view(np.uint32)
     widths_np = np.asarray(widths_d).astype(np.uint8)
+    _t2 = _time.perf_counter()
+    if timings is not None:
+        timings["prep_s"] = _t1 - _t0
+        timings["emit_wait_s"] = _t2 - _t1
+        timings["plane_bytes"] = v16.nbytes + v32.nbytes + widths_np.nbytes
 
     # ---- host: whole-batch variable-width packing (native, OpenMP) ----
     hv_parts, hw_parts = [], []
@@ -190,9 +207,12 @@ def encode_frames_tpu(
     )
     if packed is not None:
         out, end_bits = packed
-        return [
+        payloads = [
             out[f, : -(-int(end_bits[f]) // 8)].tobytes() for f in range(F)
         ]
+        if timings is not None:
+            timings["pack_s"] = _time.perf_counter() - _t2
+        return payloads
     # pure-Python fallback (no native library)
     from .bitwriter import BitWriter
 
@@ -213,4 +233,6 @@ def encode_frames_tpu(
                 w.write(int(v16[lane, i, 1]), int(widths_np[lane, i, 2]))
                 w.write(int(v32[lane, i, 1]), int(widths_np[lane, i, 3]))
         payloads.append(w.getvalue())
+    if timings is not None:
+        timings["pack_s"] = _time.perf_counter() - _t2
     return payloads
