@@ -42,6 +42,11 @@ class DecodedAudio:
     def duration_seconds(self) -> float:
         return self.num_samples / self.sample_rate
 
+    def as_float(self, dtype=np.float32) -> np.ndarray:
+        """PCM normalized to [-1, 1) floats (the ML-ingestion view):
+        ``pcm / 2**(bits_per_sample-1)``."""
+        return (self.pcm / float(1 << (self.bits_per_sample - 1))).astype(dtype)
+
 
 def _collect(stream: BinaryIO):
     """Parse the container and read the raw bytes once (zero-copy blob)."""
@@ -52,12 +57,15 @@ def _collect(stream: BinaryIO):
 
 
 def decode_streams(
-    streams: Iterable[BinaryIO], strict: bool | None = None
+    streams: Iterable[BinaryIO], strict: bool | None = None, mesh=None
 ) -> list[DecodedAudio]:
     """Decode many open .m4a streams in pooled device batches.
 
     ``strict=False`` skips (and reports) undecodable frames instead of
     raising; the default comes from config.DEFAULT.
+
+    ``mesh``: shard every batch's lane axis across a jax.sharding.Mesh —
+    the multi-chip DP path (parallel/mesh.py) from the top-level API.
     """
     infos, spans = [], []
     blobs, all_offsets, all_sizes, all_params = [], [], [], []
@@ -93,6 +101,7 @@ def decode_streams(
         all_params,
         max_s,
         strict=strict,
+        mesh=mesh,
     )
     # Vectorized ragged assembly: one boolean compress instead of a
     # per-frame concatenate (which costs ~0.5 ms/frame in Python).
@@ -121,13 +130,13 @@ def decode_streams(
 
 
 def decode_files(
-    paths: Iterable[str | os.PathLike], strict: bool | None = None
+    paths: Iterable[str | os.PathLike], strict: bool | None = None, mesh=None
 ) -> list[DecodedAudio]:
     """Decode many .m4a files in pooled device batches."""
     paths = list(paths)
     streams = [open(p, "rb") for p in paths]
     try:
-        results = decode_streams(streams, strict=strict)
+        results = decode_streams(streams, strict=strict, mesh=mesh)
     finally:
         for s in streams:
             s.close()

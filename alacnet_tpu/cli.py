@@ -131,6 +131,43 @@ def _cmd_encode(args) -> int:
     return 0
 
 
+def _cmd_batch_decode(args) -> int:
+    """Decode many .m4a files in pooled device batches -> .wav files.
+
+    The multi-file production path (batch.decode_files): frames from all
+    inputs share device dispatches; --mesh shards the lane axis over
+    every local device (multi-chip DP).
+    """
+    import os
+
+    from .batch import decode_files
+    from .pcm import write_wav
+
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    t0 = time.perf_counter()
+    results = decode_files(args.paths, strict=not args.lenient, mesh=mesh)
+    dt = time.perf_counter() - t0
+    total = sum(r.num_samples for r in results)
+    bad = sum(len(r.bad_frames) for r in results)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        for r in results:
+            name = os.path.splitext(os.path.basename(r.path))[0] + ".wav"
+            with open(os.path.join(args.out_dir, name), "wb") as f:
+                write_wav(f, r.pcm, r.sample_rate, r.bits_per_sample, r.channels)
+    print(
+        f"decoded {len(results)} files, {total} samples in {dt:.3f}s — "
+        f"{total / dt / 1e6:.2f} Msamples/s"
+        + (f", {bad} bad frames skipped" if bad else "")
+        + (f", wavs in {args.out_dir}" if args.out_dir else "")
+    )
+    return 0
+
+
 def _cmd_verify(args) -> int:
     """Decode, losslessly re-encode, decode again, compare bit-for-bit."""
     import io
@@ -233,6 +270,22 @@ def main(argv: list[str] | None = None) -> int:
         help="run the sequential encode stages batched on the accelerator",
     )
     p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser(
+        "batch-decode",
+        help="decode many .m4a files in pooled device batches",
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--out-dir", default=None, help="write one .wav per input")
+    p.add_argument(
+        "--lenient", action="store_true",
+        help="skip undecodable frames instead of raising",
+    )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard batches over every local device (multi-chip DP)",
+    )
+    p.set_defaults(fn=_cmd_batch_decode)
 
     p = sub.add_parser(
         "verify", help="decode -> lossless re-encode -> compare bit-for-bit"

@@ -1,0 +1,69 @@
+"""Multi-file batch API surface (batch.py + CLI batch-decode, round 2b)."""
+
+import numpy as np
+import pytest
+
+import alacnet_tpu
+
+from .corpus import encode_to_bytes, tone
+
+
+@pytest.fixture(scope="module")
+def three_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("m4as")
+    paths, pcms = [], []
+    for i, n in enumerate((5000, 4096, 9001)):
+        pcm = tone(n, 2, 16, seed=i)
+        p = d / f"f{i}.m4a"
+        p.write_bytes(encode_to_bytes(pcm, 44100, 16))
+        paths.append(str(p))
+        pcms.append(pcm)
+    return paths, pcms
+
+
+class TestDecodeFiles:
+    def test_pooled_decode_matches(self, three_files):
+        paths, pcms = three_files
+        results = alacnet_tpu.decode_files(paths)
+        for r, pcm, p in zip(results, pcms, paths):
+            np.testing.assert_array_equal(r.pcm, pcm)
+            assert r.path == p
+
+    def test_mesh_passthrough(self, three_files):
+        from alacnet_tpu.parallel.mesh import make_mesh
+
+        paths, pcms = three_files
+        results = alacnet_tpu.decode_files(paths, mesh=make_mesh())
+        for r, pcm in zip(results, pcms):
+            np.testing.assert_array_equal(r.pcm, pcm)
+
+    def test_as_float(self, three_files):
+        paths, pcms = three_files
+        r = alacnet_tpu.decode_files(paths[:1])[0]
+        f = r.as_float()
+        assert f.dtype == np.float32
+        assert np.abs(f).max() < 1.0
+        np.testing.assert_allclose(f, pcms[0] / 32768.0, atol=0)
+
+
+class TestCliBatchDecode:
+    def test_batch_decode_to_wavs(self, three_files, tmp_path, capsys):
+        from alacnet_tpu.cli import main
+        from alacnet_tpu.pcm import read_wav
+
+        paths, pcms = three_files
+        out = tmp_path / "wavs"
+        assert main(["batch-decode", *paths, "--out-dir", str(out)]) == 0
+        assert "decoded 3 files" in capsys.readouterr().out
+        for i, pcm in enumerate(pcms):
+            with open(out / f"f{i}.wav", "rb") as f:
+                got, rate, bits = read_wav(f)
+            np.testing.assert_array_equal(got, pcm)
+            assert (rate, bits) == (44100, 16)
+
+    def test_batch_decode_mesh_flag(self, three_files, capsys):
+        from alacnet_tpu.cli import main
+
+        paths, _ = three_files
+        assert main(["batch-decode", *paths, "--mesh"]) == 0
+        assert "decoded 3 files" in capsys.readouterr().out
