@@ -150,6 +150,12 @@ class _Parser:
         self.s.read_u32()  # minor version
         size_remaining -= 4
         while size_remaining > 0:
+            if self.s.eof:
+                # A lying ftyp size (fuzz: first atom size 2^31) would
+                # otherwise spin this walk for ~size/4 zero-extended
+                # reads; the reference loops the same way but its EOF
+                # reads return stale garbage until the count runs out.
+                raise HeaderError("truncated ftyp atom")
             self.s.read_u32()  # compatible brand, unused
             size_remaining -= 4
 
@@ -268,7 +274,7 @@ class _Parser:
             elif sub_id == _STSZ:
                 self._read_stsz(sub_len)
             elif sub_id == _STSC:
-                self._read_stsc()
+                self._read_stsc(sub_len)
             elif sub_id == _STCO:
                 self._read_stco()
             else:
@@ -322,6 +328,11 @@ class _Parser:
         size_remaining -= 4
         numentries = self.s.read_u32()
         size_remaining -= 4
+        if numentries * 8 > max(0, size_remaining):
+            # Entry count exceeding the atom body (fuzz): the reference
+            # would overrun its fixed 16-entry array instead
+            # (DemuxResT.cs:27) — we reject.
+            raise HeaderError("stts entry count exceeds atom size")
         for _ in range(numentries):
             count = self.s.read_u32()
             duration = self.s.read_u32()
@@ -338,6 +349,10 @@ class _Parser:
         uniform_size = self.s.read_u32()
         if uniform_size != 0:
             uniform_num = self.s.read_u32()
+            if uniform_num > 1 << 28:
+                # ~270M frames (= weeks of audio): a lying uniform count
+                # must not drive a multi-GB table allocation.
+                raise HeaderError("implausible stsz uniform sample count")
             self.frame_byte_sizes = np.full(
                 uniform_num, uniform_size, dtype=np.int64
             )
@@ -351,10 +366,12 @@ class _Parser:
         if size_remaining != 0:
             self.s.skip(size_remaining)
 
-    def _read_stsc(self) -> None:
+    def _read_stsc(self, chunk_len: int) -> None:
         """QTMovieT.cs:245-256."""
         self.s.skip(4)
         numentries = self.s.read_u32()
+        if numentries * 12 > max(0, chunk_len - 16):
+            raise HeaderError("stsc entry count exceeds atom size")
         for _ in range(numentries):
             first_chunk = self.s.read_u32()
             samples_per_chunk = self.s.read_u32()
@@ -399,7 +416,12 @@ def parse(stream: BinaryIO) -> StreamInfo:
     parser = _Parser(cursor)
     try:
         status = parser.read_header()
-    except (EOFError, HeaderError) as exc:
+    except (EOFError, HeaderError, ValueError, OSError) as exc:
+        # ValueError/OSError: malformed atom sizes can drive the walk
+        # into backwards skips or absurd seeks (the reference surfaces
+        # these as raw ApplicationException/IOException from MyStream,
+        # QTMovieT passing garbage lengths down — we normalize every
+        # parse-time failure to the constructor contract).
         raise HeaderError(
             f"Error while loading the QuickTime movie headers. ({exc})"
         ) from exc

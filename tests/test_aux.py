@@ -189,3 +189,69 @@ class TestDecodeBlobSink:
         perm = np.argsort(sizes, kind="stable")
         np.testing.assert_array_equal(sunk, out[perm])
         np.testing.assert_array_equal(sunk_n, n[perm])
+
+
+class TestContainerFuzz:
+    """Atom-level demux fuzzing: every malformed container must raise
+    HeaderError in bounded time — never hang, never leak a raw
+    ValueError/OSError/struct.error (SURVEY.md §5 failure detection).
+
+    These cases found real bugs in round 2b: a lying ftyp size spun the
+    compat-brand walk for ~size/4 EOF reads, huge stts/stsc/stsz entry
+    counts drove unbounded loops/allocations, and sub-8-byte atom sizes
+    leaked MyStream's backwards-skip ValueError.
+    """
+
+    def _must_reject_or_parse(self, data: bytes):
+        import signal
+
+        def boom(sig, frm):
+            raise AssertionError("demux.parse hung on malformed input")
+
+        old = signal.signal(signal.SIGALRM, boom)
+        signal.setitimer(signal.ITIMER_REAL, 5.0)
+        try:
+            try:
+                demux.parse(io.BytesIO(data))
+            except alacnet_tpu.HeaderError:
+                pass  # the contract (AlacContext.cs:46-51)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+
+    def test_hostile_atom_sizes(self):
+        import struct
+
+        base = encode_to_bytes(tone(5000, 2, 16), 44100, 16)
+        for sz in (0, 1, 2, 7, 9, 2**31, 2**32 - 1):
+            data = bytearray(base)
+            data[0:4] = struct.pack(">I", sz)
+            self._must_reject_or_parse(bytes(data))
+
+    def test_hostile_table_counts(self):
+        """stts/stsc/stsz entry counts beyond their atom bodies."""
+        import struct
+
+        base = encode_to_bytes(tone(5000, 2, 16), 44100, 16)
+        for fourcc in (b"stts", b"stsc", b"stsz"):
+            i = bytes(base).find(fourcc)
+            assert i > 0
+            for count_off, val in ((i + 8, 0xFFFFFFF0), (i + 12, 0x7FFFFFFF)):
+                data = bytearray(base)
+                data[count_off : count_off + 4] = struct.pack(">I", val)
+                self._must_reject_or_parse(bytes(data))
+
+    def test_header_bit_flips(self, rng):
+        base = bytearray(encode_to_bytes(tone(5000, 2, 16), 44100, 16))
+        for _ in range(300):
+            data = bytearray(base)
+            pos = int(rng.integers(0, min(700, len(data))))
+            data[pos] ^= 1 << int(rng.integers(0, 8))
+            self._must_reject_or_parse(bytes(data))
+
+    def test_random_garbage_headers(self, rng):
+        for _ in range(100):
+            n = int(rng.integers(0, 500))
+            self._must_reject_or_parse(
+                rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            )
