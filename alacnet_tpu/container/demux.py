@@ -430,6 +430,14 @@ def parse(stream: BinaryIO) -> StreamInfo:
         MdatPosStatus.CANNOT_SEEK_TO_MDAT_POSITION,
     ):
         raise HeaderError("Error while loading the QuickTime movie headers.")
+    if parser.mdat_len > 0 and parser.frame_byte_sizes.size:
+        # A single coded frame cannot exceed the whole mdat payload: a
+        # corrupt stsz entry would otherwise size device buffers (and
+        # XLA executables) from a lying u32 — a ~100 s compile per
+        # malformed file.  The reference fails such files too (its read
+        # into the 80 KB frame buffer throws, AlacContext.cs:64,195).
+        if int(parser.frame_byte_sizes.max()) > parser.mdat_len:
+            raise HeaderError("stsz frame size exceeds mdat payload")
     counts = np.array([c for c, _ in parser.stts], dtype=np.int64)
     durations = np.array([d for _, d in parser.stts], dtype=np.int64)
     stsc_first = np.array([f for f, _, _ in parser.stsc], dtype=np.int64)
@@ -442,7 +450,18 @@ def parse(stream: BinaryIO) -> StreamInfo:
         stsc_samples_per_chunk=stsc_spc,
         chunk_offsets=parser.stco,
     )
-    params = CodecParams.from_stsd_payload(parser.codec_data)
+    try:
+        params = CodecParams.from_stsd_payload(parser.codec_data)
+    except ValueError as exc:  # short/absent cookie
+        raise HeaderError(f"bad ALAC magic cookie ({exc})") from exc
+    if not 1 <= params.max_samples_per_frame <= 1 << 20:
+        # A lying cookie frame size would dimension every decode buffer
+        # (and XLA executable) from an arbitrary u32; the reference's
+        # fixed 16384-int buffers crash on such streams instead
+        # (AlacFile.cs:28-36).
+        raise HeaderError(
+            f"implausible max_samples_per_frame {params.max_samples_per_frame}"
+        )
     return StreamInfo(
         format=parser.format,
         num_channels=parser.num_channels,

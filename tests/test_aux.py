@@ -255,3 +255,60 @@ class TestContainerFuzz:
             self._must_reject_or_parse(
                 rng.integers(0, 256, n, dtype=np.uint8).tobytes()
             )
+
+    def test_table_value_corruption_through_decode_apis(self):
+        """Parse-OK files with corrupted stts/stsc/stsz/stco VALUES must
+        either decode leniently (bad lanes skipped) or raise a documented
+        AlacError (HeaderError for structural lies caught at parse —
+        oversized stsz entries, implausible cookie frame sizes —
+        SampleReadError for inconsistent chunk tables) in bounded time.
+        Round-2b fuzz found corrupt stsz entries sizing device buffers
+        (and XLA executables) from a lying u32: ~100 s compile per file."""
+        import signal
+
+        from alacnet_tpu.codec.encoder import EncoderConfig
+        from alacnet_tpu.errors import AlacError
+
+        rng = np.random.default_rng(0x7AB1E)  # own rng: deterministic cases
+        pcm = tone(6 * 128, 2, 16)
+        base = bytearray(
+            encode_to_bytes(
+                pcm, 44100, 16, EncoderConfig(order=4),
+                max_samples_per_frame=128,
+            )
+        )
+        locs = {
+            cc: bytes(base).find(cc.encode())
+            for cc in ("stts", "stsc", "stsz", "stco", "alac")
+        }
+
+        def boom(sig, frm):
+            raise AssertionError("decode API hung on corrupted tables")
+
+        old = signal.signal(signal.SIGALRM, boom)
+        try:
+            for cc, at in locs.items():
+                assert at > 0
+                for _ in range(8):
+                    data = bytearray(base)
+                    pos = at + 4 + int(rng.integers(0, 36))
+                    data[pos] = int(rng.integers(0, 256))
+                    signal.setitimer(signal.ITIMER_REAL, 120.0)
+                    try:
+                        try:
+                            demux.parse(io.BytesIO(bytes(data)))
+                        except alacnet_tpu.HeaderError:
+                            continue
+                        try:
+                            (res,) = decode_streams(
+                                [io.BytesIO(bytes(data))], strict=False
+                            )
+                            assert res.pcm.shape[0] < 10_000_000
+                            ctx = alacnet_tpu.AlacContext(io.BytesIO(bytes(data)))
+                            assert ctx.read_all().shape[0] < 10_000_000
+                        except AlacError:
+                            pass
+                    finally:
+                        signal.setitimer(signal.ITIMER_REAL, 0)
+        finally:
+            signal.signal(signal.SIGALRM, old)
