@@ -121,7 +121,10 @@ class SampleTables:
             lo = int(bounds[i]) - 1  # chunks are 1-based
             hi = min(int(bounds[i + 1]) - 1, num_chunks)
             per_chunk[lo:hi] = spc
-        return per_chunk
+        # No chunk can hold more frames than the stream has: a corrupt
+        # stsc samples_per_chunk u32 (fuzz: 2.1e9) would otherwise drive
+        # multi-GB expansions in frame_file_offsets' np.repeat.
+        return np.minimum(per_chunk, max(0, self.num_frames))
 
     def frame_file_offsets(self) -> np.ndarray:
         """(F,) absolute file offset of each coded ALAC frame.

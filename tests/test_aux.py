@@ -312,3 +312,45 @@ class TestContainerFuzz:
                         signal.setitimer(signal.ITIMER_REAL, 0)
         finally:
             signal.signal(signal.SIGALRM, old)
+
+    def test_huge_stsc_samples_per_chunk(self):
+        """A corrupt stsc samples_per_chunk (2.1e9) must not drive
+        multi-GB table expansions (round-2b fuzz hit: np.repeat of a
+        per-chunk count taken from a raw u32)."""
+        import signal
+        import struct
+
+        from alacnet_tpu.codec.encoder import EncoderConfig
+        from alacnet_tpu.errors import AlacError
+
+        pcm = tone(6 * 128, 2, 16)
+        base = bytearray(
+            encode_to_bytes(
+                pcm, 44100, 16, EncoderConfig(order=4),
+                max_samples_per_frame=128,
+            )
+        )
+        at = bytes(base).find(b"stsc")
+        # entry0.samples_per_chunk lives at fourcc+12 in this muxer's
+        # layout; blast every entry field with a huge value regardless.
+        def boom(sig, frm):
+            raise AssertionError("hung on huge stsc entry")
+
+        old = signal.signal(signal.SIGALRM, boom)
+        try:
+            for off in range(8, 36, 4):
+                data = bytearray(base)
+                data[at + off : at + off + 4] = struct.pack(">I", 0x7F000005)
+                signal.setitimer(signal.ITIMER_REAL, 30.0)
+                try:
+                    try:
+                        (res,) = decode_streams(
+                            [io.BytesIO(bytes(data))], strict=False
+                        )
+                        assert res.pcm.shape[0] < 10_000_000
+                    except AlacError:
+                        pass
+                finally:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+        finally:
+            signal.signal(signal.SIGALRM, old)
