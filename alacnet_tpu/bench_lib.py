@@ -38,7 +38,7 @@ from .parallel.pipeline import pad_frame_batch
 #: North-star: 1000x realtime, 44.1 kHz stereo (BASELINE.json).
 NORTH_STAR_MSAMPLES = 88.2
 
-CORPUS_KINDS = ("music", "spiky", "silence", "orders", "hires24")
+CORPUS_KINDS = ("music", "spiky", "silence", "orders", "hires24", "fat24")
 
 
 def _music_pcm(n: int, bits: int, channels: int, rng) -> np.ndarray:
@@ -117,6 +117,16 @@ def make_kind_frames(
                 pcm[pos : pos + frame_samples]))
             pos = (pos + frame_samples) % (n - frame_samples + 1)
         return payloads
+    elif kind == "fat24":
+        # The worst legal ALAC frame shape: near-white 24-bit noise with
+        # the ub=1 extra-bits side channel — ~28-33 KB coded, the sub=2
+        # narrow-lane-tile regime (round 2b; previously the XLA path).
+        pcm = rng.integers(-(1 << 23), 1 << 23, (n, channels)).astype(np.int32)
+        encs = [AlacEncoder(params, EncoderConfig(order=6, uncompressed_bytes=1))]
+        return [
+            encs[0].encode_frame(pcm[i * frame_samples : (i + 1) * frame_samples])
+            for i in range(num_distinct)
+        ]
     elif kind == "orders":
         # Quiet content: order-0 passthrough codes the raw residual, so
         # loud PCM would produce pathological frame sizes no real encoder
@@ -148,7 +158,7 @@ def make_corpus_frames(
     kind: str = "music",
 ) -> tuple[list[bytes], "object"]:
     """Encode ``num_distinct`` frames of one kind; returns (payloads, params)."""
-    if kind == "hires24":
+    if kind in ("hires24", "fat24"):
         bits = 24
     params = default_cookie(96000 if bits == 24 else 44100, bits, channels, frame_samples)
     if kind == "music" and order != 6:
@@ -187,6 +197,7 @@ def run_benchmark(
         channels=channels,
         kind=kind,
     )
+    bits = params.sample_size  # 24-bit kinds override the argument
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
     # Production batching policy (decode_blob): size-sorted lanes, so
     # kernel blocks are rate-uniform and short-frame blocks exit early.
@@ -328,7 +339,7 @@ def _mixed_pool(
     """Distinct frames across all corpus kinds + their params."""
     params = default_cookie(44100, bits, 2, frame_samples)
     pool = []
-    kinds = [k for k in CORPUS_KINDS if k != "hires24"]  # single cookie
+    kinds = [k for k in CORPUS_KINDS if k not in ("hires24", "fat24")]  # single cookie
     for k, kind in enumerate(kinds):
         pool.extend(
             make_kind_frames(

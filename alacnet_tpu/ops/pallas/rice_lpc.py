@@ -71,12 +71,15 @@ NP = 16  # padded row count
 def pick_sub(B: int, W8: int) -> int:
     """Widest lane tile (sub, 128) whose word table fits the VMEM budget.
 
-    Wider tiles amortize per-op overhead; sub=4 (half-utilized vregs)
-    exists so fat frames — typical 24-bit content runs 12-24 KB coded —
-    keep the fused kernel at half rate instead of falling to the ~50x
-    slower XLA scan path.  Table bytes = W8*8 words x sub*128 lanes x 4.
+    Wider tiles amortize per-op overhead; narrow tiles (sub=4/2/1, with
+    1/2- to 1/8-utilized vregs) exist so fat frames keep the fused
+    kernel at a fraction of full rate instead of falling to the ~50x
+    slower XLA scan path: typical 24-bit content runs 12-24 KB coded
+    (sub=4), and the worst legal ALAC frames — 4096-sample stereo noise
+    at 24-bit + extra-bits, ~33 KB — still fit at sub=2.  Table bytes =
+    W8*8 words x sub*128 lanes x 4.
     """
-    for cand in (32, 16, 8, 4):
+    for cand in (32, 16, 8, 4, 2, 1):
         if B % (cand * LN) == 0 and W8 * cand * 4096 <= WORDS_VMEM_BUDGET:
             return cand
     raise ValueError(
@@ -493,7 +496,9 @@ def fused_rice_lpc(
     Returns (out (B, num_samples) int32, end_bitpos (B,) int32).
     """
     B, W = words.shape
-    assert B % LANES == 0 and W % 8 == 0, (B, W)
+    # pick_sub re-checks divisibility for the tile it selects; 128 is
+    # the hard floor (one vreg lane row).
+    assert B % LN == 0 and W % 8 == 0, (B, W)
     W8 = W // 8
     S = num_samples
 

@@ -60,11 +60,14 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
 #: per-block word table costs W * 1024 lanes * 4 bytes and must leave
 #: room for output staging (ops/pallas/rice_lpc.WORDS_VMEM_BUDGET).
 FUSED_MIN_BATCH = 1024
-#: Widest fused-decodable frame: at the narrowest lane tile (sub=4, see
-#: ops/pallas/rice_lpc.pick_sub) the VMEM word table holds ~5950 words
-#: (~23.8 KB coded frame) — covers typical 24-bit/96 kHz content, which
-#: at the old 2900-word cap fell to the ~50x slower XLA path.
-FUSED_MAX_WORDS = 5888
+#: Widest fused-decodable frame: 11776 words = ~46 KB coded — beyond
+#: the worst legal ALAC frame (4096-sample stereo noise at 24-bit +
+#: extra-bits is ~33 KB, measured 470 Msps fused at the sub=2 lane tile
+#: vs ~23 Msps on the XLA fallback), so no real stream leaves the fused
+#: path.  pick_sub's sub=1 tile could stretch to ~94 KB but its Mosaic
+#: compile runs minutes — not worth gating production on; only
+#: corrupt-size frames land past this cap, on the XLA path.
+FUSED_MAX_WORDS = 11776
 
 #: Static max_order values _fused_plan rounds up to (ordered).
 _ORDER_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 30)

@@ -177,3 +177,53 @@ def test_fused_kernel_sub4_wide_frames(rng):
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+@pytest.mark.parametrize("sub_target", [2, 1])
+def test_fused_kernel_narrow_tiles(sub_target, rng):
+    """Very fat frames decode on the (2,128)/(1,128) lane tiles: the
+    worst legal ALAC frame (4096-sample stereo 24-bit noise +
+    extra-bits, ~33 KB coded) needs sub=2; sub=1 covers corrupt-size
+    extremes up to ~94 KB (round 2b; previously these fell to the ~50x
+    slower XLA path).  Measured on v5e: 470 Msps stereo at sub=2."""
+    from alacnet_tpu.ops.pallas.rice_lpc import WORDS_VMEM_BUDGET, pick_sub
+
+    S = 64
+    payloads, params = _mixed_payloads(S, 24, rng)
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+    B = 2 * 128  # narrow tiles lower the lane floor to sub*128
+    # Width that busts the next-wider tile's budget but fits this one.
+    W = (WORDS_VMEM_BUDGET // 4096 // (2 * sub_target)) * 8 + 64
+    assert pick_sub(B, W // 8) == sub_target
+
+    def pad(a):
+        out = np.zeros((B,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = np.zeros((B, W), np.uint32)
+    words[:B0, : fb.words.shape[1]] = fb.words
+    words = jnp.asarray(words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    rp = RiceParams(
+        rss=pad(fb.rss), kmod=pad(fb.kmod), init_history=pad(fb.init_history),
+        mult=pad(fb.rice_mult[:, 0]), kmask=pad(fb.kmask),
+    )
+    err, endp = rice_decode(words, start, n, rp, S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=pad(fb.order[:, 0]), quant=pad(fb.quant[:, 0]),
+                  rc=pad(fb.rc[:, 0]), rss=rp.rss),
+        S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n,
+        rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        S,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
