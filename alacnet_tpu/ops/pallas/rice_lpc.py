@@ -13,20 +13,24 @@ Design (see SURVEY.md §7 "hard parts"):
     every elementwise state op is one full vreg.  All decoder state
     (bit cursor, Rice history, reservoir, LPC window/coefs) is per-lane.
 
-  * **Bit reservoir** — each lane carries 4 words R0..R3 holding bits
-    [32*wp, 32*wp+128).  At step start the intra-word offset is <= 31,
-    and a worst-case Rice event (9-bit unary + 32-bit escape + 9+16-bit
-    zero-run block = 66 bits) needs offset+66 <= 97 < 128, so every
-    field of the event is extracted from the reservoir with pure vector
-    math — no loads in the hot path.
+  * **Bit reservoir** — each lane carries 8 words R0..R7 holding bits
+    [32*wp, 32*wp+256).  At the start of each unrolled PAIR of samples
+    the intra-word offset is <= 31; two worst-case Rice events (9-bit
+    unary + 32-bit escape + 9+16-bit zero-run block = 66 bits each)
+    plus a 32-bit speculative window reach offset 31+2*66+32 = 195 <
+    256, so every field of both events is extracted from the reservoir
+    with pure vector math — no loads in the hot path.
 
-  * **Word fetch** — after each step the reservoir shifts by 0..3 words.
-    New words are fetched from the VMEM-resident transposed word table
-    (W8, 8, 8, 128) with a bounded sweep over 8-word groups: per group
-    one hardware sublane-gather (`take_along_axis` axis=0 on (8, 1024),
-    Mosaic DynamicGatherOp) plus a match/select.  The sweep range is the
-    min..max group actually needed across lanes this step — frames are
-    size-sorted into blocks upstream, so the range is typically 1-2.
+  * **Word fetch** — ONE renormalization per sample pair: the reservoir
+    shifts by 0..5 words and 5 new words arrive from the VMEM-resident
+    transposed word table (W8, 8, sub, 128) via a bounded sweep over
+    8-word groups (per group: 8 shared row loads + a 3-level select
+    tree per word — measured FASTER than the Mosaic DynamicGatherOp,
+    see _FETCH_MODE).  The sweep range is the min..max group actually
+    needed across lanes — frames are size-sorted into blocks upstream,
+    so the range is typically 1-2 — and the cross-lane range reduces
+    (the dominant fixed cost, ~35% of the kernel in the per-sample
+    design) now run once per pair.
 
   * **LPC fusion** — the Rice output feeds the adaptive FIR directly
     (base-aligned window D and reversed coefs rc, see ops/lpc.py for the
@@ -88,6 +92,13 @@ def pick_sub(B: int, W8: int) -> int:
     )
 
 
+def _sel8(b2, b1, b0, x):
+    """Per-lane 8-way select by the bit masks of an index in 0..7."""
+    q = [jnp.where(b2, x[j + 4], x[j]) for j in range(4)]
+    h = [jnp.where(b1, q[j + 2], q[j]) for j in range(2)]
+    return jnp.where(b0, h[1], h[0])
+
+
 def _sel4(wi, a, b, c, d):
     """Per-lane 4-way select by wi in 0..3."""
     return jnp.where(wi == 0, a, jnp.where(wi == 1, b, jnp.where(wi == 2, c, d)))
@@ -96,15 +107,28 @@ def _sel4(wi, a, b, c, d):
 def _window32(R, roff, off):
     """The 32 bits at reservoir bit offset roff+off, left-aligned.
 
-    R: 4x (8,128) uint32 words; roff+off <= 81.  Mirrors the reference's
-    Readbits composition (AlacFile.cs:101-129); callers shift down to the
-    field width (one extraction can serve several speculative widths).
+    R: 4 or 8 (sub,128) uint32 words.  4-word reservoirs (bulk_bits)
+    allow roff+off <= 81; the decode kernel's 8-word reservoir allows
+    <= 195 (it covers two unrolled samples per fetch: start offset
+    <= 97 within the second sample of a pair, worst-case event 66 bits,
+    32-bit window).  Mirrors the reference's Readbits composition
+    (AlacFile.cs:101-129); callers shift down to the field width (one
+    extraction can serve several speculative widths).  In the 8-word
+    form, hi/lo share the index bit masks (lo is the same select over
+    the rotated word list).
     """
     p = roff + off
     wi = p >> 5
     s2 = (p & 31).astype(U32)
-    hi = _sel4(wi, R[0], R[1], R[2], R[3])
-    lo = _sel4(wi, R[1], R[2], R[3], R[3])
+    if len(R) == 4:
+        hi = _sel4(wi, R[0], R[1], R[2], R[3])
+        lo = _sel4(wi, R[1], R[2], R[3], R[3])
+    else:
+        b2 = (wi & 4) != 0
+        b1 = (wi & 2) != 0
+        b0 = (wi & 1) != 0
+        hi = _sel8(b2, b1, b0, [R[j] for j in range(8)])
+        lo = _sel8(b2, b1, b0, [R[j] for j in range(1, 8)] + [R[7]])
     return (hi << s2) | jnp.where(
         s2 == 0, jnp.zeros_like(lo), lo >> ((32 - s2) & 31)
     )
@@ -117,21 +141,46 @@ def _bits(R, roff, off, n):
     return (x >> ((32 - n) & 31)).astype(U32)
 
 
+import os as _os
+
+#: Fetch strategy (round-2b A/B, music channel pass at sub=16):
+#:   ladder — per group: 8 shared row loads + per-word 3-level select
+#:            tree.  4.40 ms (DEFAULT).
+#:   sweep  — per group+word: one Mosaic DynamicGatherOp ((8, N) idx
+#:            broadcast, row 0 sliced).  4.95 ms — the "hardware" gather
+#:            LOSES to plain selects here.
+#:   perk   — one loop per word k over its own (shifts>k) range: 9.37 ms
+#:            (the extra cross-lane min/max reduces dominate).
+#:   A (1, N)-shaped gather index does not legalize in Mosaic.
+_FETCH_MODE = _os.environ.get("ALAC_FETCH_MODE", "ladder")
+
+
 def make_fetch_words(wvmem, W8: int, sub: int):
     """Group-sweep word fetcher over a VMEM-resident (W8, 8, sub, 128)
     table: fetch_words(wp, live, K) -> K (sub,128) uint32 words at
     per-lane indices wp..wp+K-1, sweeping only the group range live lanes
-    need (one hardware sublane-gather per group per word)."""
+    need.  ``live`` may be one mask or a list of K per-word masks."""
 
-    def fetch_words(wp, live, K: int):
+    def fetch_words(wp, live, K: int, ablate=()):
+        lives = live if isinstance(live, (list, tuple)) else [live] * K
         wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
-        g_lo = jnp.min(jnp.where(live, wps[0] >> 3, W8)).astype(I32)
-        g_hi = jnp.max(jnp.where(live, wps[K - 1] >> 3, 0)).astype(I32)
+        if "staticrange" in ablate:  # timing ablation only — breaks parity
+            g_lo = jnp.zeros((), I32)
+            g_hi = jnp.ones((), I32)
+        else:
+            # Conservative range [min word-0 group, max word-K-1 group
+            # over any fetching lane]: word k's select self-masks by
+            # (wpk>>3)==g and the reservoir shift never consumes word k
+            # unless shifts>k.
+            g_lo = jnp.min(jnp.where(lives[0], wps[0] >> 3, W8)).astype(I32)
+            g_hi = jnp.max(
+                jnp.where(lives[0], wps[K - 1] >> 3, 0)
+            ).astype(I32)
         acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
 
         def body(g, acc):
             out = []
-            if sub >= 8:
+            if sub >= 8 and _FETCH_MODE == "sweep":
                 tile = wvmem[g].reshape(8, sub * LN)
                 for k in range(K):
                     o = (wps[k] & 7).reshape(1, sub * LN)
@@ -140,16 +189,18 @@ def make_fetch_words(wvmem, W8: int, sub: int):
                     got = got.reshape(sub, LN).astype(U32)
                     out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
             else:
-                # Narrow (sub<8) tiles can't legalize the (8, sub*LN)
-                # gather reshape in Mosaic; an 8-way load+select ladder
-                # costs a few extra VMEM reads per group but keeps fat
-                # frames (sub=4) on the fused kernel.
+                # 8 row loads shared by all K words, then a 3-level
+                # select tree per word (bit2 -> bit1 -> bit0 of the
+                # intra-group index): 8 loads + K*(3 cmp + 7 sel).
                 rows = [wvmem[g, j].astype(U32) for j in range(8)]
                 for k in range(K):
                     o = wps[k] & 7
-                    got = rows[0]
-                    for j in range(1, 8):
-                        got = jnp.where(o == j, rows[j], got)
+                    b2 = (o & 4) != 0
+                    b1 = (o & 2) != 0
+                    b0 = (o & 1) != 0
+                    q = [jnp.where(b2, rows[j + 4], rows[j]) for j in range(4)]
+                    h = [jnp.where(b1, q[j + 2], q[j]) for j in range(2)]
+                    got = jnp.where(b0, h[1], h[0])
                     out.append(jnp.where((wps[k] >> 3) == g, got, acc[k]))
             return out
 
@@ -264,14 +315,13 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
 
     fetch_words = make_fetch_words(wvmem, W8, sub)
 
-    # ---- reservoir init: R = words[wp0 .. wp0+4) ----
+    # ---- reservoir init: R = words[wp0 .. wp0+8) ----
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
-    R = fetch_words(wp0, live0, 4)
+    R = fetch_words(wp0, live0, 8)
 
     def step(i, carry):
-        bitpos, wp, R0, R1, R2, R3, hist, signmod, zrun, prev, D, rc = carry
-        R = (R0, R1, R2, R3)
+        bitpos, wp, *R, hist, signmod, zrun, prev, D, rc = carry
         active = i < n
         in_zero = zrun > 0
         do = active & jnp.logical_not(in_zero)
@@ -381,24 +431,8 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             cp.start()
             cp.wait()
 
-        # ---- advance reservoir ----
+        # ---- advance cursor (reservoir refilled per PAIR, see advance) --
         bitpos2 = jnp.where(do, bitpos + consumed_tot, bitpos)
-        wp_new = bitpos2 >> 5
-        shifts = wp_new - wp
-        need = shifts > 0
-        if "nofetch" in ablate:  # timing ablation only — breaks parity
-            F = (R[1], R[2], R[3])
-        elif "k1" in ablate:  # timing ablation only
-            F = tuple(fetch_words(wp + 4, need, 1)) + (R[2], R[3])
-        else:
-            F = fetch_words(wp + 4, need, 3)
-        R0n, R1n, R2n, R3n = R
-        for kk in range(3):
-            c = shifts > kk
-            R0n = jnp.where(c, R1n, R0n)
-            R1n = jnp.where(c, R2n, R1n)
-            R2n = jnp.where(c, R3n, R2n)
-            R3n = jnp.where(c, F[kk], R3n)
 
         hist_n = jnp.where(do, jnp.where(zcond, jnp.zeros_like(hz), hz), hist)
         sign_n = jnp.where(
@@ -409,15 +443,44 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         )
         prev_n = jnp.where(active, out, prev)
         return (
-            bitpos2, wp_new, R0n, R1n, R2n, R3n,
+            bitpos2, wp, *R,
             hist_n, sign_n, zrun_n, prev_n, D, rc,
         )
+
+    def advance(carry):
+        """Renormalize the 8-word reservoir after a pair of samples.
+
+        Two samples consume <= 132 bits, so the intra-reservoir offset is
+        <= 163 and one shift of 0..5 words (plus a 5-word fetch) restores
+        offset <= 31.  ONE cross-lane range reduction + group sweep per
+        pair instead of per sample — the reduces and sweep setup were
+        measured as ~35% of the whole kernel (staticrange ablation).
+        """
+        bitpos, wp, *R, hist, signmod, zrun, prev, D, rc = carry
+        wp_new = bitpos >> 5
+        shifts = wp_new - wp  # 0..5
+        need = shifts > 0
+        if "nofetch" in ablate:  # timing ablation only — breaks parity
+            F = (R[1], R[2], R[3], R[4], R[5])
+        elif "k1" in ablate:  # timing ablation only
+            F = tuple(fetch_words(wp + 8, need, 1)) + (R[2], R[3], R[4], R[5])
+        else:
+            F = fetch_words(
+                wp + 8, [shifts > k for k in range(5)], 5, ablate=ablate
+            )
+        R = list(R)
+        for kk in range(5):
+            c = shifts > kk
+            for j in range(7):
+                R[j] = jnp.where(c, R[j + 1], R[j])
+            R[7] = jnp.where(c, F[kk], R[7])
+        return (bitpos, wp_new, *R, hist, signmod, zrun, prev, D, rc)
 
     zeros = jnp.zeros((sub, LN), I32)
     carry = (
         start,
         wp0,
-        R[0], R[1], R[2], R[3],
+        *R,
         ihist,
         zeros,
         zeros,
@@ -434,22 +497,22 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     # Clamp to [0, S]: a caller-supplied all-negative n (malformed hassize
     # counts fed raw) must not drive a negative tail DMA offset.
     nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
-    # 2x-unrolled sample loop (amortizes loop mechanics ~10%; the body is
-    # otherwise latency-bound on the per-sample dependency chain).  4x was
-    # measured SLOWER (music 5.02 ms vs 4.60 ms, silence 1.83 vs 1.56 —
-    # register pressure; orders tied): keep 2x.
+    # 2x-unrolled sample loop with ONE reservoir renormalization per pair
+    # (the 8-word reservoir covers both samples; see advance).  4x was
+    # measured SLOWER at the 4-word design (register pressure); 2x also
+    # matches the reservoir budget (2 x 66 bits < 8 words).
     unroll = 2 if S % 2 == 0 else 1
     if unroll > 1:
         def stepu(j, c):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
-            return c
+            return advance(c)
 
         trips = (nmax + unroll - 1) // unroll  # may overshoot (masked steps)
         carry = jax.lax.fori_loop(0, trips, stepu, carry)
         processed = unroll * trips
     else:
-        carry = jax.lax.fori_loop(0, nmax, step, carry)
+        carry = jax.lax.fori_loop(0, nmax, lambda i, c: advance(step(i, c)), carry)
         processed = nmax
 
     # Tail handling: rows [processed, S) were never stepped, so out_hbm
