@@ -240,6 +240,44 @@ struct BitWriter {
   }
 };
 
+// Frame-local writer: 64-bit accumulator, whole-word big-endian stores
+// (no per-byte read-modify-write).  Only valid when one writer produces
+// the whole buffer from bit 0 (alac_pack_symbol_frames); the continuing
+// writers (alac_rice_encode / alac_pack_bits append at arbitrary bit
+// positions into shared buffers) keep the RMW BitWriter above.
+struct FastBitWriter {
+  uint8_t* out;
+  int64_t bytepos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  explicit FastBitWriter(uint8_t* o) : out(o) {}
+  inline void write(uint32_t value, int bits) {
+    if (bits <= 0) return;
+    value &= bits >= 32 ? 0xFFFFFFFFu : ((1u << bits) - 1u);
+    acc = (acc << bits) | value;
+    nbits += bits;
+    if (nbits >= 32) {
+      const uint32_t v = __builtin_bswap32(uint32_t(acc >> (nbits - 32)));
+      std::memcpy(out + bytepos, &v, 4);
+      bytepos += 4;
+      nbits -= 32;
+    }
+  }
+  // Flush the partial tail (zero-padded low bits); returns end bit pos.
+  inline int64_t finish() {
+    const int64_t endbits = bytepos * 8 + nbits;
+    int rem = nbits;
+    while (rem > 0) {
+      const int take = rem >= 8 ? 8 : rem;
+      out[bytepos++] =
+          uint8_t((uint32_t(acc >> (rem - take)) << (8 - take)) & 0xFF);
+      rem -= take;
+    }
+    nbits = 0;
+    return endbits;
+  }
+};
+
 constexpr int kRiceThreshold = 8;
 
 inline int clz32i(int32_t x) {
@@ -306,7 +344,7 @@ void alac_pack_symbol_frames(
     uint8_t* out, int64_t out_stride, int64_t* end_bits) {
 #pragma omp parallel for schedule(dynamic, 8)
   for (int64_t f = 0; f < F; ++f) {
-    BitWriter w(out + f * out_stride, 0);
+    FastBitWriter w(out + f * out_stride);
     for (int64_t i = h_off[f]; i < h_off[f + 1]; ++i) w.write(hv[i], hw[i]);
     const int64_t nch = stereo[f] ? 2 : 1;
     for (int64_t c = 0; c < nch; ++c) {
@@ -321,7 +359,7 @@ void alac_pack_symbol_frames(
         w.write(pv32[2 * i + 1], uint8_t(pw[4 * i + 3]));
       }
     }
-    end_bits[f] = w.bitpos;
+    end_bits[f] = w.finish();
   }
 }
 
