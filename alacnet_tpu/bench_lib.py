@@ -464,17 +464,44 @@ def run_e2e_benchmark(
         _decode_staged(staged)
         return time.perf_counter() - t0
 
+    def host_stage_run(corpora):
+        """Standalone host-stage time (native pre-parse + per-span word
+        packing + metadata packing) for fresh corpora, min over repeats —
+        symmetric with staged_device_run: the pipeline bound compares
+        each stage run on its own (on this 1-vCPU box the inline
+        host_seconds also pays contention with the dispatch/H2D threads,
+        which a real multi-core host overlaps; that number rides along
+        as host_inline_s)."""
+        from .ops.frame_decode import FrameMetaArrays
+        from .parallel.pipeline import (
+            _fused_plan, pad_frame_batch, plan_blob_batches,
+        )
+
+        best = float("inf")
+        for blob, offsets, sizes in corpora:
+            t0 = time.perf_counter()
+            perm, _, spans, span_batch = plan_blob_batches(
+                blob, offsets, sizes, params, batch_limit, strict=True
+            )
+            for lo, hi in spans:
+                fb = pad_frame_batch(span_batch(perm[lo:hi]))
+                _fused_plan(fb)
+                FrameMetaArrays.pack_host(fb)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # Warm-up: compiles every (bucket-width, order) executable.
     timed_run(*build(0))
     best_dt, total = float("inf"), 0
-    host_s = float("inf")  # min across repeats: steady-state stage cost
+    host_inline_s = float("inf")  # min across repeats, dispatch-concurrent
     for r in range(repeats):
         GLOBAL_STATS.reset()
         t, dt = timed_run(*build(r + 1))
-        host_s = min(host_s, GLOBAL_STATS.snapshot()["host_seconds"])
+        host_inline_s = min(host_inline_s, GLOBAL_STATS.snapshot()["host_seconds"])
         if dt < best_dt:
             best_dt, total = dt, t
     device_s = staged_device_run(build(repeats + 1), build(repeats + 2))
+    host_s = host_stage_run([build(repeats + 3 + r) for r in range(3)])
     msps = total / best_dt / 1e6
     # Steady-state pipeline rate with host and device stages overlapped
     # (the <=2-in-flight design): bounded by the slower stage.  This —
@@ -491,6 +518,7 @@ def run_e2e_benchmark(
         "e2e_realtime_x": round(bound_msps * 1e6 / 44100.0, 1),
         "e2e_host_parse_s": round(host_s, 5),
         "e2e_device_s": round(device_s, 5),
+        "host_inline_s": round(host_inline_s, 5),
         "tunnel_wall_s": round(best_dt, 5),
         "tunnel_wall_msps": round(msps, 3),
         "e2e_total_frames": total_frames,

@@ -50,5 +50,5 @@ def slope(ablate):
     print(f"{kind} ablate={ab or 'none'}: {dt*1e3:.2f} ms/pass")
     return dt
 
-for ab in ([], ["nozrun"], ["noadapt"], ["nofir"], ["k1"], ["nofetch"]):
+for ab in ([], ["nozrun"], ["noadapt"], ["nofir"], ["k1"], ["nofetch"], ["staticrange"]):
     slope(ab)
