@@ -227,3 +227,101 @@ def test_fused_kernel_narrow_tiles(sub_target, rng):
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+def test_fused_kernel_odd_lengths_pair_boundaries(rng):
+    """Frames with odd/awkward sample counts: the pair-fetch loop's
+    second step is masked past n, zero-runs can straddle a pair
+    boundary, and a lane can freeze mid-pair (8-word reservoir design,
+    round 2b)."""
+    S = 64
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    n_pcm = 8 * S
+    pcm = rng.integers(-900, 900, (n_pcm, 2)).astype(np.int32)
+    payloads = []
+    for nlen in (1, 2, 3, 5, 17, 33, 63, 64):
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        payloads.append(enc.encode_frame(pcm[:nlen]))
+        z = np.zeros((nlen, 2), np.int32)
+        if nlen > 2:
+            z[nlen // 2, 0] = 7  # zero-run broken mid-frame
+        payloads.append(enc.encode_frame(z))
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+    B = 2 * 128
+
+    def pad(a):
+        out = np.zeros((B,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = np.zeros((B, fb.words.shape[1]), np.uint32)
+    words[:B0] = fb.words
+    words = jnp.asarray(words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    rp = RiceParams(
+        rss=pad(fb.rss), kmod=pad(fb.kmod), init_history=pad(fb.init_history),
+        mult=pad(fb.rice_mult[:, 0]), kmask=pad(fb.kmask),
+    )
+    err, endp = rice_decode(words, start, n, rp, S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=pad(fb.order[:, 0]), quant=pad(fb.quant[:, 0]),
+                  rc=pad(fb.rc[:, 0]), rss=rp.rss),
+        S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n,
+        rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        S,
+        max_order=4,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+def test_fused_kernel_odd_scan_length(rng):
+    """Odd S exercises the unroll=1 path (advance after every step)."""
+    S = 63
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    pcm = rng.integers(-500, 500, (S, 2)).astype(np.int32)
+    enc = AlacEncoder(params, EncoderConfig(order=4))
+    payloads = [enc.encode_frame(pcm[: k or S]) for k in (0, 7, 21, 62, 63)]
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+    B = 2 * 128
+
+    def pad(a):
+        out = np.zeros((B,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = np.zeros((B, fb.words.shape[1]), np.uint32)
+    words[:B0] = fb.words
+    words = jnp.asarray(words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    rp = RiceParams(
+        rss=pad(fb.rss), kmod=pad(fb.kmod), init_history=pad(fb.init_history),
+        mult=pad(fb.rice_mult[:, 0]), kmask=pad(fb.kmask),
+    )
+    err, endp = rice_decode(words, start, n, rp, S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=pad(fb.order[:, 0]), quant=pad(fb.quant[:, 0]),
+                  rc=pad(fb.rc[:, 0]), rss=rp.rss),
+        S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n,
+        rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        S,
+        max_order=4,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
