@@ -339,3 +339,28 @@ class TestMalformedInputTermination:
         with AlacContext(io.BytesIO(buf.getvalue()), window=6) as ctx:
             out = ctx.read_all()
         np.testing.assert_array_equal(out, pcm)
+
+
+class TestReaderFuzz:
+    def test_random_seek_read_interleaving(self, stereo16):
+        """Random seek/read sequences must always return exactly the
+        PCM bytes at the reader position (leftover-buffer + seek-trim
+        interplay, ALACFileReader.cs:63-116 semantics)."""
+        import io
+
+        pcm, data = stereo16
+        ref_bytes = pcm.astype("<i2").tobytes()
+        rng = np.random.default_rng(0xC0FFEE)
+        with alacnet_tpu.ALACFileReader(io.BytesIO(data)) as r:
+            ba = r.wave_format.block_align
+            length = r.length
+            pos = 0
+            for _ in range(60):
+                if rng.random() < 0.4:
+                    pos = int(rng.integers(0, length // ba + 1)) * ba
+                    r.position = pos
+                want = int(rng.integers(0, 5000))
+                got = r.read(want)
+                exp = ref_bytes[pos : pos + want]
+                assert got == exp[: len(got)] and len(got) == len(exp)
+                pos += len(got)
