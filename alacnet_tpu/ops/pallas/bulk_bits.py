@@ -59,16 +59,21 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
 
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
-    R = fetch_words(wp0, live0, 4)
+    R = fetch_words(wp0, live0, 8)
 
     def step(i, carry):
-        bitpos, wp, R0, R1, R2, R3 = carry
-        R4 = (R0, R1, R2, R3)
+        """One (A, B) field pair; the reservoir refills per QUAD of
+        steps (advance): 4 affine steps consume <= 4*48 bits, and the
+        deepest window read reaches 31 + 3*48 + 32 + 32 = 239 < 256 —
+        the 8-word reservoir fits a quad exactly.  The cross-lane range
+        reduces in the fetch were the dominant per-step cost (see
+        rice_lpc §4f ablations); here they amortize over 4 samples."""
+        bitpos, wp, *R8 = carry
         active = i < n
         roff = bitpos - (wp << 5)
-        wa = _window32(R4, roff, jnp.zeros_like(roff))
+        wa = _window32(R8, roff, jnp.zeros_like(roff))
         va = (wa >> ((32 - n1.astype(U32)) & 31)).astype(I32)
-        wb = _window32(R4, roff, n1)
+        wb = _window32(R8, roff, n1)
         vb = (wb >> ((32 - n2.astype(U32)) & 31)).astype(I32)
         ta[(i % out_tile)] = jnp.where(active, va, 0)
         tb[(i % out_tile)] = jnp.where(active & (n2 > 0), vb, 0)
@@ -83,27 +88,44 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
                 c.wait()
 
         bitpos2 = jnp.where(active, bitpos + stride, bitpos)
-        wp_new = bitpos2 >> 5
-        shifts = wp_new - wp
-        F = fetch_words(wp + 4, shifts > 0, 2)
-        R0n, R1n, R2n, R3n = R0, R1, R2, R3
-        for kk in range(2):
-            c = shifts > kk
-            R0n = jnp.where(c, R1n, R0n)
-            R1n = jnp.where(c, R2n, R1n)
-            R2n = jnp.where(c, R3n, R2n)
-            R3n = jnp.where(c, F[kk], R3n)
-        return (bitpos2, wp_new, R0n, R1n, R2n, R3n)
+        return (bitpos2, wp, *R8)
 
-    carry = (start, wp0, R[0], R[1], R[2], R[3])
+    def advance(carry):
+        bitpos, wp, *R8 = carry
+        wp_new = bitpos >> 5
+        shifts = wp_new - wp  # 0..6 after a quad
+        F = fetch_words(wp + 8, [shifts > k for k in range(6)], 6)
+        R8 = list(R8)
+        for kk in range(6):
+            c = shifts > kk
+            for j in range(7):
+                R8[j] = jnp.where(c, R8[j + 1], R8[j])
+            R8[7] = jnp.where(c, F[kk], R8[7])
+        return (bitpos, wp_new, *R8)
+
+    carry = (start, wp0, *R)
     # Dynamic trip count + zero-filled tail (shared with rice_lpc._kernel).
     dynamic_stop = S % out_tile == 0
     nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
-    carry = jax.lax.fori_loop(0, nmax, step, carry)
+    unroll = 4 if S % 4 == 0 else 1
+    if unroll > 1:
+        def stepq(j, c):
+            for u in range(unroll):
+                c = step(unroll * j + u, c)
+            return advance(c)
+
+        trips = (nmax + unroll - 1) // unroll
+        carry = jax.lax.fori_loop(0, trips, stepq, carry)
+        processed = unroll * trips
+    else:
+        carry = jax.lax.fori_loop(
+            0, nmax, lambda i, c: advance(step(i, c)), carry
+        )
+        processed = nmax
     if dynamic_stop:
         flush_dynamic_tail(
-            [(ta, outa_hbm), (tb, outb_hbm)], nb, nmax, S, out_tile, sub,
-            sem_o,
+            [(ta, outa_hbm), (tb, outb_hbm)], nb, processed, S, out_tile,
+            sub, sem_o,
         )
     else:
         rem = S % out_tile
