@@ -122,9 +122,9 @@ def make_kind_frames(
         # the ub=1 extra-bits side channel — ~28-33 KB coded, the sub=2
         # narrow-lane-tile regime (round 2b; previously the XLA path).
         pcm = rng.integers(-(1 << 23), 1 << 23, (n, channels)).astype(np.int32)
-        encs = [AlacEncoder(params, EncoderConfig(order=6, uncompressed_bytes=1))]
+        enc = AlacEncoder(params, EncoderConfig(order=6, uncompressed_bytes=1))
         return [
-            encs[0].encode_frame(pcm[i * frame_samples : (i + 1) * frame_samples])
+            enc.encode_frame(pcm[i * frame_samples : (i + 1) * frame_samples])
             for i in range(num_distinct)
         ]
     elif kind == "orders":

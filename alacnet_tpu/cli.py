@@ -155,8 +155,14 @@ def _cmd_batch_decode(args) -> int:
     bad = sum(len(r.bad_frames) for r in results)
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
+        used: set[str] = set()
         for r in results:
-            name = os.path.splitext(os.path.basename(r.path))[0] + ".wav"
+            stem = os.path.splitext(os.path.basename(r.path))[0]
+            name, k = stem + ".wav", 1
+            while name in used:  # same basename from different dirs
+                name = f"{stem}.{k}.wav"
+                k += 1
+            used.add(name)
             with open(os.path.join(args.out_dir, name), "wb") as f:
                 write_wav(f, r.pcm, r.sample_rate, r.bits_per_sample, r.channels)
     print(

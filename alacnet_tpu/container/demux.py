@@ -328,11 +328,15 @@ class _Parser:
         size_remaining -= 4
         numentries = self.s.read_u32()
         size_remaining -= 4
-        if numentries * 8 > max(0, size_remaining):
-            # Entry count exceeding the atom body (fuzz): the reference
-            # would overrun its fixed 16-entry array instead
-            # (DemuxResT.cs:27) — we reject.
-            raise HeaderError("stts entry count exceeds atom size")
+        # Bound by BOTH the atom's claimed body and the physical bytes
+        # left in the stream: a lying atom-size *chain* (stbl and stts
+        # sizes inflated together) passes the claimed-size check alone
+        # and still drives a multi-minute zero-extended-EOF loop.  The
+        # reference would overrun its fixed 16-entry array instead
+        # (DemuxResT.cs:27) — we reject.
+        body = min(size_remaining, self.s.length - self.s.stream_position)
+        if numentries * 8 > max(0, body):
+            raise HeaderError("stts entry count exceeds atom/stream size")
         for _ in range(numentries):
             count = self.s.read_u32()
             duration = self.s.read_u32()
@@ -370,8 +374,12 @@ class _Parser:
         """QTMovieT.cs:245-256."""
         self.s.skip(4)
         numentries = self.s.read_u32()
-        if numentries * 12 > max(0, chunk_len - 16):
-            raise HeaderError("stsc entry count exceeds atom size")
+        # Claimed atom body AND physical stream bytes (see _read_stts).
+        body = min(
+            chunk_len - 16, self.s.length - self.s.stream_position
+        )
+        if numentries * 12 > max(0, body):
+            raise HeaderError("stsc entry count exceeds atom/stream size")
         for _ in range(numentries):
             first_chunk = self.s.read_u32()
             samples_per_chunk = self.s.read_u32()

@@ -147,10 +147,15 @@ class SampleTables:
             raise SampleReadError(
                 f"chunk tables cover {total} frames, stsz has {nframes}"
             )
-        # chunk index of each frame
-        chunk_of_frame = np.repeat(
-            np.arange(len(per_chunk), dtype=np.int64), per_chunk
-        )[:nframes]
+        # Chunk index of each frame — searchsorted over the per-chunk
+        # prefix sums rather than np.repeat: the repeat materializes
+        # sum(per_chunk) elements, which a hostile stsc/stsz pair can
+        # push to a petabyte-scale allocation (MemoryError escaping the
+        # AlacError contract) even with per-entry clamps.
+        chunk_of_frame = np.searchsorted(
+            np.cumsum(per_chunk), np.arange(nframes, dtype=np.int64),
+            side="right",
+        )
         sizes = self.frame_byte_sizes.astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(sizes)))[:-1]  # bytes before frame
         # bytes before the first frame of each chunk

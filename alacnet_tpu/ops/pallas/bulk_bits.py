@@ -143,13 +143,21 @@ def bulk_bits(
     start_bitpos,  # (B,) int32
     n,  # (B,) int32 steps per lane (0 freezes)
     n1,  # (B,) int32 first-field width, 1..32 where active
-    n2,  # (B,) int32 second-field width, 0..32 (0 -> single field)
+    n2,  # (B,) int32 second-field width, 0.. (0 -> single field)
     num_samples: int,
     interpret: bool = False,
 ):
     """Extract (A, B) field streams at a fixed per-lane stride.
 
-    Returns (a (B, S) int32, b (B, S) int32); n1+n2 <= 48 bits per step.
+    Returns (a (B, S) int32, b (B, S) int32).
+
+    CONTRACT: n1 + n2 <= 48 bits per step — the quad-fetch reservoir
+    budget (31 + 3*48 + 32 + 32 = 239 < 256 bits; see step()).  Every
+    caller satisfies this via the parser's 16/24-bit sample-size cap:
+    raw stereo is at most 24+24 and extra-bits at most 24+24.  A future
+    32-bit path would need stride 64 and a per-pair (not per-quad)
+    renormalization — do NOT widen the fields without revisiting the
+    reservoir arithmetic.
     """
     B, W = words.shape
     assert B % LANES == 0 and W % 8 == 0, (B, W)

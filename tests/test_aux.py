@@ -354,3 +354,49 @@ class TestContainerFuzz:
                     signal.setitimer(signal.ITIMER_REAL, 0)
         finally:
             signal.signal(signal.SIGALRM, old)
+
+    def test_lying_atom_size_chain(self):
+        """An inflated atom-SIZE chain (stbl..stsc/stts sizes and entry
+        counts lying together) must reject instantly: the entry-count
+        guards bound by the physical stream length, not just the claimed
+        atom body (round-2b review finding — claimed-size-only guards
+        still allowed a multi-minute zero-extended-EOF walk)."""
+        import struct
+        import time
+
+        from alacnet_tpu.codec.encoder import EncoderConfig
+
+        data = encode_to_bytes(
+            tone(6 * 128, 2, 16), 44100, 16, EncoderConfig(order=4),
+            max_samples_per_frame=128,
+        )
+        for leaf, count_off in ((b"stsc", 8), (b"stts", 12)):
+            out = bytearray(data)
+            for cc in (b"moov", b"trak", b"mdia", b"minf", b"stbl", leaf):
+                at = data.find(cc)
+                out[at - 4 : at] = struct.pack(">I", 0x40000000)
+            at = data.find(leaf)
+            out[at + count_off : at + count_off + 4] = struct.pack(
+                ">I", 178_000_000
+            )
+            t0 = time.perf_counter()
+            with pytest.raises(alacnet_tpu.HeaderError):
+                demux.parse(io.BytesIO(bytes(out)))
+            assert time.perf_counter() - t0 < 2.0
+
+    def test_hostile_chunk_table_no_giant_allocation(self):
+        """frame_file_offsets must stay bounded-memory for hostile
+        stsc/stco combinations (searchsorted, not a sum(per_chunk)-sized
+        np.repeat)."""
+        from alacnet_tpu.container.tables import SampleTables
+
+        t = SampleTables(
+            frame_byte_sizes=np.full(1 << 16, 10, np.int64),
+            stts_counts=np.array([1 << 16], np.int64),
+            stts_durations=np.array([128], np.int64),
+            stsc_first_chunk=np.array([1], np.int64),
+            stsc_samples_per_chunk=np.array([1 << 28], np.int64),
+            chunk_offsets=np.arange(100_000, dtype=np.int64),
+        )
+        offs = t.frame_file_offsets()
+        assert offs.shape == (1 << 16,)
