@@ -223,10 +223,11 @@ def run_benchmark(
     # (which would fake the timing), and deterministic rolls repeat
     # across processes.  Metadata rolls identically to stay consistent.
     salt = np.random.default_rng()
-    base = int(salt.integers(1, max(2, batch - repeats - 1)))
     repeats = max(2, repeats)
+    nvar = 2 * repeats + 1  # two disjoint timed chains + warm-up
+    base = int(salt.integers(1, max(2, batch - nvar - 1)))
     variants = []
-    for r in range(repeats + 1):  # +1: warm-up gets its own buffers
+    for r in range(nvar):
         w = np.roll(fb.words, base + r, axis=0)
         mv = FrameMetaArrays.from_batch(fb)._replace(
             **{
@@ -245,8 +246,9 @@ def run_benchmark(
     force.item()
 
     # Warm-up (compile)
+    warm = 2 * repeats
     out, n = decode_frames(
-        *variants[repeats], frame_samples, use_fused=use_fused, max_order=max_order
+        *variants[warm], frame_samples, use_fused=use_fused, max_order=max_order
     )
     jnp.sum(n).item()
 
@@ -268,14 +270,22 @@ def run_benchmark(
         return time.perf_counter() - t0
 
     # RTT baseline: the warmed variant re-dispatch is served from the
-    # relay memo.  Relay timing has multi-hundred-ms hiccups: min of 3.
-    t_rtt = min(run_chain([repeats]) for _ in range(3))
-    per = (run_chain(range(repeats)) - t_rtt) / repeats
+    # relay memo.  Relay timing has multi-hundred-ms hiccups: min of 3,
+    # and the timed estimate is the min over two DISJOINT chains (fresh
+    # buffers each — identical dispatches get memoized).
+    t_rtt = min(run_chain([warm]) for _ in range(3))
+    per = (
+        min(
+            run_chain(range(repeats)),
+            run_chain(range(repeats, 2 * repeats)),
+        )
+        - t_rtt
+    ) / repeats
     if per * repeats < 3 * t_rtt:
         # Kernel time is in the RTT noise floor: extend the chain with
         # enough fresh distinct buffers that compute dominates.
         extra = min(32, max(8, int(3 * t_rtt / max(per, 1e-4))))
-        for r in range(repeats + 1, repeats + 1 + extra):
+        for r in range(warm + 1, warm + 1 + extra):
             w = np.roll(fb.words, base + r, axis=0)
             mv = FrameMetaArrays.from_batch(fb)._replace(
                 **{
@@ -287,11 +297,11 @@ def run_benchmark(
             )
             variants.append((jnp.asarray(w), mv))
         force = jnp.zeros((), jnp.uint32)
-        for w, mv in variants[repeats + 1 :]:
+        for w, mv in variants[warm + 1 :]:
             force = force + jnp.sum(w)
         force.item()
-        idxs = list(range(repeats)) + list(
-            range(repeats + 1, repeats + 1 + extra)
+        idxs = list(range(2 * repeats)) + list(
+            range(warm + 1, warm + 1 + extra)
         )
         per = (run_chain(idxs) - t_rtt) / len(idxs)
     if per <= 0:
