@@ -172,6 +172,10 @@ def make_fetch_words(wvmem, W8: int, sub: int):
             # over any fetching lane]: word k's select self-masks by
             # (wpk>>3)==g and the reservoir shift never consumes word k
             # unless shifts>k.
+            # (Fusing the two reduces into one stacked max — min(x) as
+            # W8-max(W8-x) — does not legalize: Mosaic rejects the
+            # scalar extract from the (2,) reduce result with "Invalid
+            # input layout".)
             g_lo = jnp.min(jnp.where(lives[0], wps[0] >> 3, W8)).astype(I32)
             g_hi = jnp.max(
                 jnp.where(lives[0], wps[K - 1] >> 3, 0)
