@@ -143,7 +143,7 @@ def bulk_bits(
     start_bitpos,  # (B,) int32
     n,  # (B,) int32 steps per lane (0 freezes)
     n1,  # (B,) int32 first-field width, 1..32 where active
-    n2,  # (B,) int32 second-field width, 0.. (0 -> single field)
+    n2,  # (B,) int32 second-field width, 0..24 (0 -> single field)
     num_samples: int,
     interpret: bool = False,
 ):
