@@ -353,9 +353,14 @@ class _Parser:
         uniform_size = self.s.read_u32()
         if uniform_size != 0:
             uniform_num = self.s.read_u32()
-            if uniform_num > 1 << 28:
-                # ~270M frames (= weeks of audio): a lying uniform count
-                # must not drive a multi-GB table allocation.
+            # A lying uniform count must not drive a multi-GB table
+            # allocation from a few header bytes: the claimed total
+            # coded bytes can't exceed the physical stream (frames live
+            # in mdat, which lives in this file), and the count itself
+            # is capped at ~270M frames (= weeks of audio).
+            if uniform_num > 1 << 28 or (
+                uniform_num * max(1, uniform_size) > self.s.length
+            ):
                 raise HeaderError("implausible stsz uniform sample count")
             self.frame_byte_sizes = np.full(
                 uniform_num, uniform_size, dtype=np.int64

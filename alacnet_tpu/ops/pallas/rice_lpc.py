@@ -26,7 +26,7 @@ Design (see SURVEY.md §7 "hard parts"):
     transposed word table (W8, 8, sub, 128) via a bounded sweep over
     8-word groups (per group: 8 shared row loads + a 3-level select
     tree per word — measured FASTER than the Mosaic DynamicGatherOp,
-    see _FETCH_MODE).  The sweep range is the min..max group actually
+    see _fetch_mode).  The sweep range is the min..max group actually
     needed across lanes — frames are size-sorted into blocks upstream,
     so the range is typically 1-2 — and the cross-lane range reduces
     (the dominant fixed cost, ~35% of the kernel in the per-sample
@@ -48,6 +48,7 @@ TPU against the same corpus as the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -99,36 +100,28 @@ def _sel8(b2, b1, b0, x):
     return jnp.where(b0, h[1], h[0])
 
 
-def _sel4(wi, a, b, c, d):
-    """Per-lane 4-way select by wi in 0..3."""
-    return jnp.where(wi == 0, a, jnp.where(wi == 1, b, jnp.where(wi == 2, c, d)))
-
-
 def _window32(R, roff, off):
     """The 32 bits at reservoir bit offset roff+off, left-aligned.
 
-    R: 4 or 8 (sub,128) uint32 words.  4-word reservoirs (bulk_bits)
-    allow roff+off <= 81; the decode kernel's 8-word reservoir allows
-    <= 195 (it covers two unrolled samples per fetch: start offset
-    <= 97 within the second sample of a pair, worst-case event 66 bits,
-    32-bit window).  Mirrors the reference's Readbits composition
-    (AlacFile.cs:101-129); callers shift down to the field width (one
-    extraction can serve several speculative widths).  In the 8-word
-    form, hi/lo share the index bit masks (lo is the same select over
-    the rotated word list).
+    R: 8 (sub,128) uint32 words (both the decode kernel and bulk_bits
+    carry 8-word reservoirs).  The decode kernel allows roff+off <= 195
+    (it covers two unrolled samples per fetch: start offset <= 97 within
+    the second sample of a pair, worst-case event 66 bits, 32-bit
+    window); bulk_bits allows <= 31+24+24+32 = 111 (start offset plus
+    two <=24-bit fields plus the window).  Mirrors the reference's
+    Readbits composition (AlacFile.cs:101-129); callers shift down to
+    the field width (one extraction can serve several speculative
+    widths).  hi/lo share the index bit masks (lo is the same select
+    over the rotated word list).
     """
     p = roff + off
     wi = p >> 5
     s2 = (p & 31).astype(U32)
-    if len(R) == 4:
-        hi = _sel4(wi, R[0], R[1], R[2], R[3])
-        lo = _sel4(wi, R[1], R[2], R[3], R[3])
-    else:
-        b2 = (wi & 4) != 0
-        b1 = (wi & 2) != 0
-        b0 = (wi & 1) != 0
-        hi = _sel8(b2, b1, b0, [R[j] for j in range(8)])
-        lo = _sel8(b2, b1, b0, [R[j] for j in range(1, 8)] + [R[7]])
+    b2 = (wi & 4) != 0
+    b1 = (wi & 2) != 0
+    b0 = (wi & 1) != 0
+    hi = _sel8(b2, b1, b0, [R[j] for j in range(8)])
+    lo = _sel8(b2, b1, b0, [R[j] for j in range(1, 8)] + [R[7]])
     return (hi << s2) | jnp.where(
         s2 == 0, jnp.zeros_like(lo), lo >> ((32 - s2) & 31)
     )
@@ -141,9 +134,7 @@ def _bits(R, roff, off, n):
     return (x >> ((32 - n) & 31)).astype(U32)
 
 
-import os as _os
-
-#: Fetch strategy (round-2b A/B, music channel pass at sub=16):
+#: Fetch strategies (round-2b A/B, music channel pass at sub=16):
 #:   ladder — per group: 8 shared row loads + per-word 3-level select
 #:            tree.  4.40 ms (DEFAULT).
 #:   sweep  — per group+word: one Mosaic DynamicGatherOp ((8, N) idx
@@ -152,14 +143,32 @@ import os as _os
 #:   perk   — one loop per word k over its own (shifts>k) range: 9.37 ms
 #:            (the extra cross-lane min/max reduces dominate).
 #:   A (1, N)-shaped gather index does not legalize in Mosaic.
-_FETCH_MODE = _os.environ.get("ALAC_FETCH_MODE", "ladder")
+_FETCH_MODES = ("ladder", "sweep", "perk")
+
+
+def _fetch_mode() -> str:
+    """ALAC_FETCH_MODE, read at kernel-build time (not import time, so
+    tests/scripts can set it after import) and validated."""
+    mode = os.environ.get("ALAC_FETCH_MODE", "ladder")
+    if mode not in _FETCH_MODES:
+        raise ValueError(
+            f"ALAC_FETCH_MODE={mode!r}: expected one of {_FETCH_MODES}"
+        )
+    return mode
 
 
 def make_fetch_words(wvmem, W8: int, sub: int):
     """Group-sweep word fetcher over a VMEM-resident (W8, 8, sub, 128)
     table: fetch_words(wp, live, K) -> K (sub,128) uint32 words at
     per-lane indices wp..wp+K-1, sweeping only the group range live lanes
-    need.  ``live`` may be one mask or a list of K per-word masks."""
+    need.  ``live`` may be one mask or a list of K per-word masks, but
+    only ``lives[0]`` participates in the sweep range (the conservative
+    [min group of word 0, max group of word K-1] over lanes fetching at
+    all — correct because lives are nested, lives[k] implies lives[0]);
+    per-word range tightening was measured slower (perk mode).  The list
+    form is accepted for call-site symmetry only."""
+
+    mode = _fetch_mode()
 
     def fetch_words(wp, live, K: int, ablate=()):
         lives = live if isinstance(live, (list, tuple)) else [live] * K
@@ -184,7 +193,7 @@ def make_fetch_words(wvmem, W8: int, sub: int):
 
         def body(g, acc):
             out = []
-            if sub >= 8 and _FETCH_MODE == "sweep":
+            if sub >= 8 and mode == "sweep":
                 tile = wvmem[g].reshape(8, sub * LN)
                 for k in range(K):
                     o = (wps[k] & 7).reshape(1, sub * LN)
@@ -562,6 +571,14 @@ def fused_rice_lpc(
 
     Returns (out (B, num_samples) int32, end_bitpos (B,) int32).
     """
+    if ablate and os.environ.get("ALAC_ABLATE") != "1":
+        # Ablated variants produce WRONG output by design (profiling
+        # only, scripts/kablate.py); refuse outside an explicit opt-in
+        # so no production caller can silently break parity.
+        raise RuntimeError(
+            "fused_rice_lpc(ablate=...) is a timing-only mode that breaks "
+            "bit parity; set ALAC_ABLATE=1 to confirm"
+        )
     B, W = words.shape
     # pick_sub re-checks divisibility for the tile it selects; 128 is
     # the hard floor (one vreg lane row).

@@ -2,8 +2,9 @@
 
 Timing-only — ablated variants produce WRONG results by design.
 """
-import sys, pathlib, time
+import os, sys, pathlib, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ["ALAC_ABLATE"] = "1"  # opt in: ablated output is wrong by design
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 from scripts.kbench import corpus

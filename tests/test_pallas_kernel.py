@@ -325,3 +325,31 @@ def test_fused_kernel_odd_scan_length(rng):
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+def test_ablate_refused_without_env(monkeypatch, rng):
+    """ablate= is a timing-only mode that breaks parity by design; it
+    must be impossible to reach from production code without the
+    explicit ALAC_ABLATE=1 opt-in (VERDICT r2 weak #7)."""
+    monkeypatch.delenv("ALAC_ABLATE", raising=False)
+    B, W, S = LANES, 8, 8
+    z = jnp.zeros((B,), jnp.int32)
+    with pytest.raises(RuntimeError, match="ALAC_ABLATE"):
+        fused_rice_lpc(
+            jnp.zeros((B, W), jnp.uint32), z, z,
+            z + 17, z + 14, z + 10, z + 220, z - 1,
+            z, z + 9, jnp.zeros((B, 32), jnp.int32),
+            S, interpret=True, ablate=("nozrun",),
+        )
+
+
+def test_fetch_mode_validated(monkeypatch):
+    from alacnet_tpu.ops.pallas.rice_lpc import _fetch_mode
+
+    monkeypatch.setenv("ALAC_FETCH_MODE", "bogus")
+    with pytest.raises(ValueError, match="ALAC_FETCH_MODE"):
+        _fetch_mode()
+    monkeypatch.setenv("ALAC_FETCH_MODE", "sweep")
+    assert _fetch_mode() == "sweep"
+    monkeypatch.delenv("ALAC_FETCH_MODE")
+    assert _fetch_mode() == "ladder"
