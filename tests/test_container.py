@@ -104,6 +104,20 @@ class TestDemux:
         with pytest.raises(HeaderError):
             demux.parse(io.BytesIO(b"\x00\x00\x00\x08junkmorebytes"))
 
+    def test_hostile_uniform_stsz_count_rejected(self):
+        """A lying stsz uniform count whose claimed coded bytes exceed
+        the physical stream must raise before any table allocation
+        (ADVICE r2: a few header bytes could drive a ~2 GiB np.full)."""
+        import struct
+
+        data = bytearray(encode_to_bytes(tone(5000, 2, 16), 44100, 16))
+        i = data.find(b"stsz")
+        assert i > 0
+        struct.pack_into(">I", data, i + 8, 1)  # uniform_size = 1
+        struct.pack_into(">I", data, i + 12, 0x0FFFFFFF)  # huge count
+        with pytest.raises(HeaderError, match="stsz uniform"):
+            demux.parse(io.BytesIO(bytes(data)))
+
     def test_not_m4a_raises(self):
         bad = b"\x00\x00\x00\x10ftypmp42\x00\x00\x00\x00"
         with pytest.raises(HeaderError):
