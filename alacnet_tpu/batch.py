@@ -113,6 +113,13 @@ def decode_streams(
         if hi > lo:
             block = out[lo:hi, :, :nch]
             pcm = block.reshape(-1, nch)[valid[lo:hi].reshape(-1)]
+            if (
+                info.bits_per_sample_or_default() == 16
+                and pcm.dtype != np.int16
+            ):
+                # A mixed 16/24-bit pool upcasts the pooled array to
+                # int32 at concat; 16-bit files still ship int16.
+                pcm = pcm.astype(np.int16)
             bad = np.flatnonzero(status[lo:hi]).astype(np.int64)
         else:
             pcm = np.zeros((0, nch), np.int32)

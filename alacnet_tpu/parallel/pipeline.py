@@ -212,10 +212,19 @@ def plan_blob_batches(
     cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
     cap_bytes = (cap_w - WINDOW_PAD) * 4
     elig = sizes <= cap_bytes
-    perm = np.lexsort((sizes, ~elig))
+    # Third key: bit depth — 16-bit frames cluster into their own spans
+    # so a pooled mixed-format decode_files still ships int16 for the
+    # 16-bit spans (emit16 halves their D2H; dispatch_frame_batch
+    # chooses the dtype per batch).  Sizes stay the fine key, so the
+    # word-table width argument above is unaffected within each group.
+    is_wide = hdr.sample_size != 16
+    perm = np.lexsort((sizes, is_wide, ~elig))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
-    boundaries = sorted({0, int(elig.sum()), F})
+    group = (~elig[perm]).astype(np.int8) * 2 + is_wide[perm].astype(np.int8)
+    boundaries = sorted(
+        {0, F} | set((np.flatnonzero(np.diff(group)) + 1).tolist())
+    )
     spans = [
         (lo, min(lo + batch_limit, b_hi))
         for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:])
