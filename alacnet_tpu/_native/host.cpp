@@ -204,7 +204,7 @@ int64_t alac_parse_headers(
   return first_bad < 0 ? 0 : 1 + first_bad;
 }
 
-int32_t alac_native_abi_version() { return 1; }
+int32_t alac_native_abi_version() { return 2; }
 
 }  // extern "C"
 
@@ -254,6 +254,10 @@ struct FastBitWriter {
   inline void write(uint32_t value, int bits) {
     if (bits <= 0) return;
     value &= bits >= 32 ? 0xFFFFFFFFu : ((1u << bits) - 1u);
+    push(value, bits);
+  }
+  // Pre-masked fast path (value already < 2^bits); bits may be 0.
+  inline void push(uint32_t value, int bits) {
     acc = (acc << bits) | value;
     nbits += bits;
     if (nbits >= 32) {
@@ -459,6 +463,61 @@ void alac_predictor_errors(const int32_t* sig, int64_t n, int32_t* coefs,
       }
     }
     ++base;
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Assemble coded frames from device-merged 96-bit sample chunks
+// (ops/encode.merge_symbol_chunks): per channel-sample ONE right-aligned
+// multi-word field (c0:c1:c2 low `ws` bits) instead of four separate
+// fields — the serial per-field bookkeeping is the encode pipeline's
+// host bottleneck on a single-core box.  `extra` is an optional
+// per-sample extra-bits plane written between the header and the
+// entropy body (width extra_w[f] bits per sample; 0 = no plane).
+// Chunk values arrive pre-masked (bits above ws are zero), so the
+// writer skips the per-call mask.
+void alac_pack_chunk_frames(
+    const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
+    const uint32_t* extra, const uint8_t* extra_w,
+    const uint32_t* c0, const uint32_t* c1, const uint32_t* c2,
+    const int8_t* ws, const int32_t* n, const uint8_t* stereo,
+    int64_t F, int64_t S,
+    uint8_t* out, int64_t out_stride, int64_t* end_bits) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t f = 0; f < F; ++f) {
+    FastBitWriter w(out + f * out_stride);
+    for (int64_t i = h_off[f]; i < h_off[f + 1]; ++i) w.write(hv[i], hw[i]);
+    const int64_t nf = n[f];
+    if (extra_w != nullptr && extra_w[f] != 0) {
+      const int eb = extra_w[f];
+      const uint32_t* pe = extra + f * S;
+      for (int64_t i = 0; i < nf; ++i) w.write(pe[i], eb);
+    }
+    const int64_t nch = stereo[f] ? 2 : 1;
+    for (int64_t c = 0; c < nch; ++c) {
+      const int64_t lane = f + c * F;
+      const uint32_t* p0 = c0 + lane * S;
+      const uint32_t* p1 = c1 + lane * S;
+      const uint32_t* p2 = c2 + lane * S;
+      const int8_t* pw = ws + lane * S;
+      for (int64_t i = 0; i < nf; ++i) {
+        const int bits = pw[i];
+        if (bits <= 32) {
+          w.push(p2[i], bits);
+        } else if (bits <= 64) {
+          w.push(p1[i], bits - 32);
+          w.push(p2[i], 32);
+        } else {
+          w.push(p0[i], bits - 64);
+          w.push(p1[i], 32);
+          w.push(p2[i], 32);
+        }
+      }
+    }
+    end_bits[f] = w.finish();
   }
 }
 

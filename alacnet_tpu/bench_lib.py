@@ -199,23 +199,27 @@ def run_benchmark(
     )
     bits = params.sample_size  # 24-bit kinds override the argument
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
-    # Production batching policy (decode_blob): size-sorted lanes, so
-    # kernel blocks are rate-uniform and short-frame blocks exit early.
-    payloads.sort(key=len)
 
-    from .codec.framemeta_vec import parse_frame_headers_blob
+    from .ops.frame_decode import decode_frames_packed
+    from .parallel.pipeline import _fused_plan, plan_blob_batches
 
     sizes = np.array([len(p) for p in payloads], np.int64)
     offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
     blob = np.frombuffer(b"".join(payloads), np.uint8)
+    # Production batching policy (decode_blob): plan_blob_batches lane
+    # ordering (eligibility/depth/size/order) + per-span word packing,
+    # per-span static max_order.
     t0 = time.perf_counter()
-    fb = parse_frame_headers_blob(blob, offsets, sizes, params)
+    spanned = []
+    perm, _, spans, span_batch = plan_blob_batches(
+        blob, offsets, sizes, params, batch, strict=True
+    )
+    for lo, hi in spans:
+        fb = pad_frame_batch(span_batch(perm[lo:hi]))
+        use_fused, max_order = _fused_plan(fb)
+        spanned.append((fb, use_fused, max_order))
     host_parse_s = time.perf_counter() - t0
-    fb = pad_frame_batch(fb, batch)
-    from .parallel.pipeline import _fused_plan
-
-    use_fused, max_order = _fused_plan(fb)
-    meta = FrameMetaArrays.from_batch(fb)
+    fused_all = all(uf for _, uf, _ in spanned)
     import jax
 
     # Distinct input buffers per dispatch, rotated by a process-random
@@ -226,31 +230,36 @@ def run_benchmark(
     repeats = max(2, repeats)
     nvar = 2 * repeats + 1  # two disjoint timed chains + warm-up
     base = int(salt.integers(1, max(2, batch - nvar - 1)))
-    variants = []
-    for r in range(nvar):
-        w = np.roll(fb.words, base + r, axis=0)
-        mv = FrameMetaArrays.from_batch(fb)._replace(
-            **{
-                f: jnp.asarray(
-                    np.roll(np.asarray(getattr(meta, f)), base + r, axis=0)
-                )
-                for f in FrameMetaArrays._fields
-            }
-        )
-        variants.append((jnp.asarray(w), mv))
+
+    def make_variant(r):
+        """Per-span (words, packed meta) with lanes rolled within the span."""
+        staged = []
+        for fb, uf, mo in spanned:
+            w = np.roll(fb.words, base + r, axis=0)
+            mv = np.roll(FrameMetaArrays.pack_host(fb), base + r, axis=0)
+            staged.append((jnp.asarray(w), jnp.asarray(mv), uf, mo))
+        return staged
+
+    variants = [make_variant(r) for r in range(nvar)]
     # Force H2D with a real readback: over the axon relay,
     # block_until_ready is a no-op and transfers complete lazily.
     force = jnp.zeros((), jnp.uint32)
-    for w, mv in variants:
-        force = force + jnp.sum(w)
+    for staged in variants:
+        for w, mv, _, _ in staged:
+            force = force + jnp.sum(w)
     force.item()
+
+    def dispatch_variant(staged, acc):
+        for w, mv, uf, mo in staged:
+            out, n = decode_frames_packed(
+                w, mv, frame_samples, use_fused=uf, max_order=mo
+            )
+            acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
+        return acc
 
     # Warm-up (compile)
     warm = 2 * repeats
-    out, n = decode_frames(
-        *variants[warm], frame_samples, use_fused=use_fused, max_order=max_order
-    )
-    jnp.sum(n).item()
+    jnp.sum(dispatch_variant(variants[warm], jnp.zeros((), jnp.int32))).item()
 
     def run_chain(idxs):
         """One scalar readback for a whole chain of dispatches — every
@@ -258,14 +267,8 @@ def run_benchmark(
         timing would measure the tunnel, not the kernel."""
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
-        outs = []
         for r in idxs:
-            w, mv = variants[r]
-            out, n = decode_frames(
-                w, mv, frame_samples, use_fused=use_fused, max_order=max_order
-            )
-            acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
-            outs.append(out)
+            acc = dispatch_variant(variants[r], acc)
         acc.item()
         return time.perf_counter() - t0
 
@@ -286,19 +289,11 @@ def run_benchmark(
         # enough fresh distinct buffers that compute dominates.
         extra = min(32, max(8, int(3 * t_rtt / max(per, 1e-4))))
         for r in range(warm + 1, warm + 1 + extra):
-            w = np.roll(fb.words, base + r, axis=0)
-            mv = FrameMetaArrays.from_batch(fb)._replace(
-                **{
-                    f: jnp.asarray(
-                        np.roll(np.asarray(getattr(meta, f)), base + r, axis=0)
-                    )
-                    for f in FrameMetaArrays._fields
-                }
-            )
-            variants.append((jnp.asarray(w), mv))
+            variants.append(make_variant(r))
         force = jnp.zeros((), jnp.uint32)
-        for w, mv in variants[warm + 1 :]:
-            force = force + jnp.sum(w)
+        for staged in variants[warm + 1 :]:
+            for w, mv, _, _ in staged:
+                force = force + jnp.sum(w)
         force.item()
         idxs = list(range(2 * repeats)) + list(
             range(warm + 1, warm + 1 + extra)
@@ -310,22 +305,21 @@ def run_benchmark(
         # absurdity.
         per = run_chain(range(repeats)) / repeats
     best = per
-    out, n = decode_frames(
-        *variants[0], frame_samples, use_fused=use_fused, max_order=max_order
-    )
-    total_samples = int(jnp.sum(n).item())
-    # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's output
-    # must match the reference-semantics XLA scan path bit for bit.
-    if use_fused:
-        fused_out, _ = decode_frames(
-            *variants[0], frame_samples, use_fused=True, max_order=max_order
-        )
-        ref_out, _ = decode_frames(
-            *variants[0], frame_samples, use_fused=False, max_order=max_order
-        )
-        parity_ok = bool(jnp.array_equal(fused_out, ref_out).item())
-    else:
-        parity_ok = True
+    total_samples = 0
+    parity_ok = True
+    for w, mv, uf, mo in variants[0]:
+        out, n = decode_frames_packed(w, mv, frame_samples, use_fused=uf, max_order=mo)
+        total_samples += int(jnp.sum(n).item())
+        # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's
+        # output must match the reference-semantics XLA scan path bit
+        # for bit.
+        if uf:
+            ref_out, _ = decode_frames_packed(
+                w, mv, frame_samples, use_fused=False, max_order=mo
+            )
+            parity_ok = parity_ok and bool(
+                jnp.array_equal(out, ref_out).item()
+            )
     if include_host:
         best += host_parse_s
     msps = total_samples / best / 1e6
@@ -339,11 +333,12 @@ def run_benchmark(
         "vs_baseline": round(msps / NORTH_STAR_MSAMPLES, 4),
         "realtime_x": round(realtime, 1),
         "batch_frames": batch,
+        "spans": len(spanned),
         "device_s": round(best, 5),
         "host_parse_s": round(host_parse_s, 5),
         "repeats": repeats,
         "backend": jax.default_backend(),
-        "fused_kernel": use_fused,
+        "fused_kernel": fused_all,
         "parity_ok": parity_ok,
     }
 
@@ -587,14 +582,19 @@ def run_encode_benchmark(
 ) -> dict:
     """Device-batch encoder throughput (codec/encoder_tpu.py).
 
-    Reports the device-stage rate (chained-readback slope over the
-    jitted encode_stages) and the end-to-end encode_frames_tpu wall
-    (host prep + device + native bit packing) — the latter is host-bound
-    on this 1-vCPU machine (per-frame Levinson + packing).
+    Stage-resolved like the decode e2e bench: ``encode_msps`` is the
+    slowest stage of the <=2-in-flight encode pipeline — host prep
+    (split/decorrelate + batched Levinson + header fields, min over
+    repeats), the device automatons (chained-readback slope over the
+    jitted encode_stages), and native chunk packing (min over repeats,
+    planes host-resident) — each measured standalone, mirroring
+    run_e2e_benchmark's bound.  The relay-inclusive end-to-end wall
+    rides along as ``encode_tunnel_wall_msps``.
     """
     import jax
 
-    from .codec.encoder_tpu import encode_frames_tpu
+    from .codec.encoder import AlacEncoder
+    from .codec.encoder_tpu import _dispatch, _pack, _prep, encode_frames_tpu
     from .ops.encode import RiceEncParams, encode_stages
     from .ops.lpc import LpcParams, reverse_coefs
 
@@ -636,15 +636,15 @@ def run_encode_benchmark(
     for v in vs:
         force = force + jnp.sum(v)
     force.item()
-    _, _, w0, _ = encode_stages(vs[-1], ns, lp, rp, S, max_order=6)
-    jnp.sum(w0.astype(jnp.int32)).item()
+    *_, bits0, _bad = encode_stages(vs[-1], ns, lp, rp, S, max_order=6)
+    jnp.sum(bits0).item()
 
     def chain(idxs):
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
         for r in idxs:
-            _, _, w, _ = encode_stages(vs[r], ns, lp, rp, S, max_order=6)
-            acc = acc + jnp.sum(w[:, -1, :].astype(jnp.int32))
+            *_, b, _ = encode_stages(vs[r], ns, lp, rp, S, max_order=6)
+            acc = acc + jnp.sum(b)
         acc.item()
         return time.perf_counter() - t0
 
@@ -656,24 +656,39 @@ def run_encode_benchmark(
     dev_s = max((per - rtt) / repeats, 1e-9)
     dev_msps = F * S / dev_s / 1e6
 
-    # -- stage split (host prep + device + pack), smaller to bound time --
-    Fe = min(F, 256)
-    frames = [pcm[i * S : (i + 1) * S] for i in range(Fe)]
-    encode_frames_tpu(frames, params, EncoderConfig(order=6))  # warm
-    tm: dict = {}
+    # -- host stages, each standalone (min over repeats) --
+    Fe = min(F, 512)
+    arr = pcm[: Fe * S].reshape(Fe, S, 2)
+    cfg = EncoderConfig(order=6)
+    enc = AlacEncoder(params, cfg)
+    encode_frames_tpu(arr, params, cfg)  # warm (compile + caches)
+    prep_s = float("inf")
+    for _ in range(max(2, repeats) + 1):
+        t0 = time.perf_counter()
+        prep = _prep(arr, params, cfg, enc)
+        prep_s = min(prep_s, time.perf_counter() - t0)
+    planes = _dispatch(prep, params, cfg)
+    host_planes = [np.asarray(x) for x in planes]  # block the readback
+    pack_s = float("inf")
+    for _ in range(max(2, repeats) + 1):
+        t0 = time.perf_counter()
+        payloads = _pack(prep, host_planes, None)
+        pack_s = min(pack_s, time.perf_counter() - t0)
+    coded = sum(len(p) for p in payloads)
+
+    # -- relay-inclusive pipelined wall (encode_frames_tpu end to end) --
     t0 = time.perf_counter()
-    payloads = encode_frames_tpu(
-        frames, params, EncoderConfig(order=6), timings=tm
-    )
+    encode_frames_tpu(arr, params, cfg)
     e2e_s = time.perf_counter() - t0
     e2e_msps = Fe * S / e2e_s / 1e6
-    coded = sum(len(p) for p in payloads)
-    # Steady-state pipeline rate with the three stages overlapped: host
-    # prep (Levinson + header fields), device emit (slope-timed above —
-    # emit_wait_s is dominated by the symbol-plane D2H, ~16 B/sample,
-    # which any directly-attached host moves at GB/s), native packing.
-    prep_msps = Fe * S / tm["prep_s"] / 1e6
-    pack_msps = Fe * S / tm["pack_s"] / 1e6
+
+    # Steady-state pipeline rate with the three stages overlapped
+    # (encode_frames_tpu keeps <=2 chunks in flight): bounded by the
+    # slowest stage.  The chunk-plane D2H (~13 B/sample) rides the
+    # relay here (encode_tunnel_wall_msps); a directly-attached host
+    # moves it at GB/s.
+    prep_msps = Fe * S / prep_s / 1e6
+    pack_msps = Fe * S / pack_s / 1e6
     bound = min(prep_msps, pack_msps, dev_msps)
     return {
         "encode_msps": round(bound, 3),
@@ -681,7 +696,7 @@ def run_encode_benchmark(
         "encode_device_s": round(dev_s, 5),
         "encode_prep_msps": round(prep_msps, 3),
         "encode_pack_msps": round(pack_msps, 3),
-        # Tunnel-inclusive wall (symbol-plane D2H over the dev relay —
+        # Tunnel-inclusive wall (chunk-plane D2H over the dev relay —
         # an environment artifact, cf. DESIGN.md §4c).
         "encode_tunnel_wall_msps": round(e2e_msps, 3),
         "encode_ratio": round(coded / (Fe * S * 2 * (bits // 8)), 4),

@@ -3,14 +3,22 @@
 Splits encoding the way the decoder's pipeline splits decoding
 (SURVEY.md §2.5 "PP", mirrored):
 
-  host   — per-frame prep: extra-bits split, stereo decorrelation,
-           Levinson coefficients, header/coef bit fields (all NumPy);
+  host   — batch prep: extra-bits split, stereo decorrelation, batched
+           Levinson coefficients (window-capped autocorrelation — one
+           einsum over the lane batch, codec/encoder.levinson_coefs_batch),
+           vectorized header/coef bit fields;
   device — the two per-sample automatons, frame-per-lane with stereo
            channels folded into extra lanes (ops/encode.py): forward
-           adaptive FIR residuals and the Rice emitter producing
-           fixed-arity (value, width) bit-field planes;
-  host   — per-frame variable-width bit packing (the native C++
-           alac_pack_bits; BitWriter fallback), trivially parallel.
+           adaptive FIR residuals, the Rice emitter, and the per-sample
+           96-bit chunk merge (merge_symbol_chunks) so the host packer
+           writes ONE multi-word field per channel-sample;
+  host   — whole-batch chunk packing (native alac_pack_chunk_frames;
+           BitWriter fallback).
+
+Large batches run as a bounded pipeline (<= 2 device batches in flight):
+prep of chunk k+1 and packing of chunk k-1 overlap the device's work on
+chunk k, mirroring decode_blob's dispatch discipline
+(parallel/pipeline.py).
 
 Output payloads are byte-identical to codec/encoder.AlacEncoder given
 the same configuration — tests/test_encoder_tpu.py enforces equality,
@@ -23,7 +31,11 @@ import numpy as np
 
 from ..ops.lpc import MAX_ORDER, LpcParams, reverse_coefs
 from .cookie import CodecParams
-from .encoder import AlacEncoder, EncoderConfig, levinson_coefs
+from .encoder import AlacEncoder, EncoderConfig, levinson_coefs_batch
+
+#: Frames per device batch in the pipelined path (2*chunk lanes on
+#: device; 4096-sample frames at 2048 lanes stage ~32 MB of planes).
+CHUNK_FRAMES = 1024
 
 
 def _header_bits(enc: AlacEncoder, n: int, nch: int, ub: int,
@@ -43,48 +55,37 @@ def _header_bits(enc: AlacEncoder, n: int, nch: int, ub: int,
     return vals, widths
 
 
-def encode_frames_tpu(
-    frames: list[np.ndarray],
-    params: CodecParams,
-    config: EncoderConfig | None = None,
-    timings: dict | None = None,
-) -> list[bytes]:
-    """Encode PCM frames ((n, ch) int32 each) in one device batch.
+def _normalize_frames(frames, S: int):
+    """-> (padded (F, S, 2) int, ns_f (F,), stereo_f (F,) bool).
 
-    Compressed path only (``force_uncompressed`` frames have no
-    sequential stage worth a device trip — use AlacEncoder).  Frames may
-    mix mono/stereo and lengths up to params.max_samples_per_frame.
-
-    ``timings``: optional dict that receives per-stage wall times —
-    ``prep_s`` (host prep incl. Levinson), ``emit_wait_s`` (device
-    dispatch + blocking symbol-plane readback; on a tunneled chip the
-    D2H dominates — ``plane_bytes`` records the transfer size),
-    ``pack_s`` (host variable-width packing).
+    ``frames`` may be a single (F, S, ch) array (the zero-copy batch
+    API: a reshaped view of contiguous PCM) or a list of per-frame
+    (n, ch) arrays with mixed lengths/channel counts.
     """
-    import time as _time
-
-    import jax.numpy as jnp
-
-    from .. import native
-    from ..ops.encode import RiceEncParams, encode_stages
-
-    _t0 = _time.perf_counter()
-
-    cfg = config or EncoderConfig()
-    if cfg.force_uncompressed:
-        raise ValueError("device encoder handles the compressed path only")
-    enc = AlacEncoder(params, cfg)  # validates params/config like the host
+    if isinstance(frames, np.ndarray):
+        if frames.ndim != 3:
+            raise ValueError("array input must be (F, S, channels)")
+        F, n, nch = frames.shape
+        if n > S:
+            raise ValueError(f"frames of {n} samples exceed {S}")
+        if nch not in (1, 2):
+            raise ValueError(f"1 or 2 channels, got {nch}")
+        ns_f = np.full(F, n, np.int32)
+        stereo_f = np.full(F, nch == 2)
+        if n == S and nch == 2:
+            return frames, ns_f, stereo_f
+        padded = np.zeros((F, S, 2), frames.dtype)
+        padded[:, :n, :nch] = frames
+        return padded, ns_f, stereo_f
     F = len(frames)
-    if F == 0:
-        return []
-    S = params.max_samples_per_frame
-    ub = cfg.uncompressed_bytes
-    order = cfg.order
-
-    # ---- host prep: vectorized split/decorrelate; per-frame coefs ----
-    B = 2 * F  # channel-folded lanes: [A of all frames, B of all frames]
     ns_f = np.zeros(F, np.int32)
     stereo_f = np.zeros(F, bool)
+    shapes = {np.asarray(f).shape for f in frames}
+    if len(shapes) == 1:
+        a = np.asarray(frames)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        return _normalize_frames(a, S)
     padded = np.zeros((F, S, 2), np.int64)
     for f, pcm in enumerate(frames):
         pcm = np.asarray(pcm)
@@ -98,6 +99,26 @@ def encode_frames_tpu(
         ns_f[f] = n
         stereo_f[f] = nch == 2
         padded[f, :n, :nch] = pcm
+    return padded, ns_f, stereo_f
+
+
+def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
+    """Host prep: split/decorrelate, batched Levinson, header fields.
+
+    Returns a dict with everything the dispatch and pack stages need.
+    """
+    S = params.max_samples_per_frame
+    ub = cfg.uncompressed_bytes
+    order = cfg.order
+    padded, ns_f, stereo_f = _normalize_frames(frames, S)
+    F = len(ns_f)
+    B = 2 * F  # channel-folded lanes: [A of all frames, B of all frames]
+
+    # Decorrelation domain: products stay well inside int32 for 16-bit
+    # content (hi <= 2^15, leftweight <= 255 -> 2^24); 24-bit keeps the
+    # int64 domain of the scalar encoder.
+    work_dtype = np.int32 if params.sample_size <= 16 and not ub else np.int64
+    padded = np.ascontiguousarray(padded, work_dtype)
     ub8 = 8 * ub
     if ub:
         hi = padded >> ub8
@@ -106,48 +127,117 @@ def encode_frames_tpu(
         hi = padded
         extra_pl = None
     sh, lw = cfg.interlacing_shift, cfg.interlacing_leftweight
-    chan_b = hi[:, :, 0] - hi[:, :, 1]
     if lw != 0:
+        chan_b = hi[:, :, 0] - hi[:, :, 1]
         chan_a = hi[:, :, 1] + ((chan_b * lw) >> sh)
     else:
         chan_a, chan_b = hi[:, :, 0], hi[:, :, 1]
     st = stereo_f[:, None]
-    sig = np.zeros((B, S), np.int32)
-    sig[:F] = np.where(st, chan_a, hi[:, :, 0]).astype(np.int32)
-    sig[F:] = np.where(st, chan_b, 0).astype(np.int32)
+    sig = np.empty((B, S), np.int32)
+    np.copyto(sig[:F], np.where(st, chan_a, hi[:, :, 0]))
+    np.copyto(sig[F:], np.where(st, chan_b, 0))
     ns = np.concatenate([ns_f, np.where(stereo_f, ns_f, 0)]).astype(np.int32)
     rss_l = np.concatenate(
-        [
-            params.sample_size - 8 * ub + stereo_f.astype(np.int32),
-        ] * 2
+        [params.sample_size - 8 * ub + stereo_f.astype(np.int32)] * 2
     ).astype(np.int32)
-    coefs_all: list[list[int]] = []
-    headers: list[tuple[list[int], list[int]]] = []
-    for f in range(F):
-        nch = 2 if stereo_f[f] else 1
-        coefs_per_ch = []
-        for c in range(nch):
-            coefs_per_ch.append(
-                list(enc._choose_coefs(sig[f + c * F, : ns_f[f]], order))
-            )
-        coefs_all.append(coefs_per_ch[0])
-        coefs_all.append(coefs_per_ch[1] if nch == 2 else [])
-        headers.append(_header_bits(enc, int(ns_f[f]), nch, ub, coefs_per_ch))
-    # reorder coefs to lane layout [A..., B...]
-    coefs_lanes = coefs_all[0::2] + coefs_all[1::2]
 
-    # ---- device: residuals + rice symbol planes (channel-folded) ----
+    # ---- batched coefficient choice (identical to _choose_coefs by
+    # construction: both go through levinson_coefs_batch) ----
+    if order in (0, 0x1F) or not cfg.adaptive_coefs:
+        seed = enc._seed_coefs(order)
+        ncoef = len(seed)
+        coef_mat = np.tile(np.asarray(seed, np.int32), (B, 1))
+    else:
+        ncoef = order
+        w = cfg.levinson_window or S
+        coef_mat = levinson_coefs_batch(
+            sig[:, :w], np.minimum(ns, w), order, cfg.quant
+        )
+    coef_mat = np.where(ns[:, None] > 0, coef_mat, 0)
+
+    # ---- header/coef bit fields ----
+    uniform = (
+        ns_f.size > 0
+        and (ns_f == ns_f[0]).all()
+        and (stereo_f == stereo_f[0]).all()
+    )
+    # Emitted coef-field count per channel (order 31 emits all 31; order
+    # 0 emits none — _prediction_fields, AlacFile.cs:577-596 mirrored).
+    emitted = 31 if order == 0x1F else order
+    if uniform:
+        nch = 2 if stereo_f[0] else 1
+        coefs0 = [[0] * ncoef] * nch
+        tv, tw = _header_bits(enc, int(ns_f[0]), nch, ub, coefs0)
+        H = len(tv)
+        hw_row = np.asarray(tw, np.uint8)
+        hv_mat = np.tile(np.asarray(tv, np.uint32), (F, 1))
+        # coef fields sit at the tail of each channel's prediction block
+        if emitted:
+            a_end = H - (4 + emitted) * (nch - 1)
+            hv_mat[:, a_end - emitted : a_end] = (
+                coef_mat[:F, :emitted] & 0xFFFF
+            )
+            if nch == 2:
+                hv_mat[:, H - emitted : H] = coef_mat[F:, :emitted] & 0xFFFF
+        hv_all = hv_mat.reshape(-1)
+        hw_all = np.tile(hw_row, F)
+        h_off = np.arange(F + 1, dtype=np.int64) * H
+        hbits = np.full(F, int(hw_row.astype(np.int64).sum()), np.int64)
+    else:
+        hv_parts, hw_parts = [], []
+        h_off = np.zeros(F + 1, np.int64)
+        hbits = np.zeros(F, np.int64)
+        for f in range(F):
+            nch = 2 if stereo_f[f] else 1
+            coefs_per_ch = [coef_mat[f, :ncoef].tolist()]
+            if nch == 2:
+                coefs_per_ch.append(coef_mat[F + f, :ncoef].tolist())
+            hv, hw = _header_bits(enc, int(ns_f[f]), nch, ub, coefs_per_ch)
+            hv_parts.append(np.asarray(hv, np.uint32))
+            hw_parts.append(np.asarray(hw, np.uint8))
+            h_off[f + 1] = h_off[f] + len(hv)
+            hbits[f] = sum(hw)
+        hv_all = np.concatenate(hv_parts) if F else np.zeros(0, np.uint32)
+        hw_all = np.concatenate(hw_parts) if F else np.zeros(0, np.uint8)
+
+    # ---- extra-bits side-channel plane (A:B interleaved per sample) ----
+    if ub:
+        ea = extra_pl[:, :, 0]
+        eb = extra_pl[:, :, 1]
+        extra_plane = np.where(st, (ea << ub8) | eb, ea)
+        extra_w = np.where(stereo_f, 2 * ub8, ub8).astype(np.uint8)
+        extra_bits = extra_w.astype(np.int64) * ns_f
+    else:
+        extra_plane = None
+        extra_w = None
+        extra_bits = 0
+
+    return {
+        "F": F, "S": S, "B": B, "order": order, "ncoef": ncoef,
+        "sig": sig, "ns": ns, "ns_f": ns_f, "stereo_f": stereo_f,
+        "rss_l": rss_l, "coef_mat": coef_mat,
+        "hv": hv_all, "hw": hw_all, "h_off": h_off,
+        "hbits": hbits + extra_bits,
+        "extra_plane": extra_plane, "extra_w": extra_w,
+    }
+
+
+def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
+    """Stage the prepped batch onto the device (async)."""
+    import jax.numpy as jnp
+
+    from ..ops.encode import RiceEncParams, encode_stages
+
+    B, S, order = prep["B"], prep["S"], prep["order"]
     coef_tab = np.zeros((B, MAX_ORDER), np.int32)
-    for b, c in enumerate(coefs_lanes):
-        coef_tab[b, : len(c)] = c
+    coef_tab[:, : prep["ncoef"]] = prep["coef_mat"][:, :MAX_ORDER]
     rc = reverse_coefs(coef_tab, np.full(B, order, np.int32))
     lp = LpcParams(
         order=jnp.asarray(np.full(B, order, np.int32)),
         quant=jnp.asarray(np.full(B, cfg.quant, np.int32)),
         rc=jnp.asarray(rc),
-        rss=jnp.asarray(rss_l),
+        rss=jnp.asarray(prep["rss_l"]),
     )
-    n_dev = jnp.asarray(ns)
     rp = RiceEncParams(
         rss=lp.rss,
         kmod=jnp.asarray(np.full(B, params.rice_kmodifier, np.int32)),
@@ -160,79 +250,150 @@ def encode_frames_tpu(
         kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
     )
     max_order = 0 if order in (0, 31) else order
-    _t1 = _time.perf_counter()
-    v16_d, v32_d, widths_d, bad = encode_stages(
-        jnp.asarray(sig), n_dev, lp, rp, S, max_order=max_order
+    return encode_stages(
+        jnp.asarray(prep["sig"]), jnp.asarray(prep["ns"]), lp, rp, S,
+        max_order=max_order,
     )
-    if bool(np.asarray(bad).any()):
-        raise RuntimeError("encoder state desync: raw < 0")
-    v16 = np.asarray(v16_d).view(np.uint16)
-    v32 = np.asarray(v32_d).view(np.uint32)
-    widths_np = np.asarray(widths_d).astype(np.uint8)
-    _t2 = _time.perf_counter()
-    if timings is not None:
-        timings["prep_s"] = _t1 - _t0
-        timings["emit_wait_s"] = _t2 - _t1
-        timings["plane_bytes"] = v16.nbytes + v32.nbytes + widths_np.nbytes
 
-    # ---- host: whole-batch variable-width packing (native, OpenMP) ----
-    hv_parts, hw_parts = [], []
-    h_lens = np.zeros(F + 1, np.int64)
-    for f in range(F):
-        hv, hw = headers[f]
-        hv_parts.append(np.asarray(hv, np.uint32))
-        hw_parts.append(np.asarray(hw, np.uint8))
-        extra_ct = 0
-        if ub:
-            n = int(ns_f[f])
-            nch = 2 if stereo_f[f] else 1
-            ev = extra_pl[f, :n, :nch].reshape(-1)  # interleaved A,B
-            hv_parts.append(ev)
-            hw_parts.append(np.full(ev.size, ub8, np.uint8))
-            extra_ct = ev.size
-        h_lens[f + 1] = h_lens[f] + len(hv) + extra_ct
-    hv_all = np.concatenate(hv_parts)
-    hw_all = np.concatenate(hw_parts)
-    # Exact output sizes from the width planes.
-    live = np.arange(S)[None, :] < ns[:, None]
-    wsum = (widths_np.astype(np.int64).sum(axis=2) * live).sum(axis=1)
-    hbits = np.add.reduceat(
-        hw_all.astype(np.int64), h_lens[:-1]
-    ) if F else np.zeros(0, np.int64)
-    total_bits = hbits + wsum[:F] + wsum[F:]
+
+def _pack(prep, planes, timings: dict | None):
+    """Read back the chunk planes and assemble payload bytes."""
+    import time as _time
+
+    from .. import native
+
+    _t0 = _time.perf_counter()
+    c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
+    c0 = np.asarray(c0_d)
+    c1 = np.asarray(c1_d)
+    c2 = np.asarray(c2_d)
+    ws = np.asarray(ws_d)
+    bits = np.asarray(bits_d).astype(np.int64)
+    if bool(np.asarray(bad_d).any()):
+        raise RuntimeError("encoder state desync: raw < 0")
+    _t1 = _time.perf_counter()
+    F = prep["F"]
+    total_bits = prep["hbits"] + bits[:F] + bits[F:]
     out_stride = int(total_bits.max()) // 8 + 8 if F else 8
-    packed = native.pack_symbol_frames_native(
-        hv_all, hw_all, h_lens, v16, v32, widths_np.view(np.int8),
-        ns_f, stereo_f.astype(np.uint8), out_stride,
+    packed = native.pack_chunk_frames_native(
+        prep["hv"], prep["hw"], prep["h_off"],
+        prep["extra_plane"], prep["extra_w"],
+        c0, c1, c2, ws, prep["ns_f"], prep["stereo_f"].astype(np.uint8),
+        out_stride,
     )
     if packed is not None:
         out, end_bits = packed
         payloads = [
             out[f, : -(-int(end_bits[f]) // 8)].tobytes() for f in range(F)
         ]
-        if timings is not None:
-            timings["pack_s"] = _time.perf_counter() - _t2
-        return payloads
-    # pure-Python fallback (no native library)
+    else:
+        payloads = _pack_py(prep, c0, c1, c2, ws)
+    if timings is not None:
+        timings["emit_wait_s"] = timings.get("emit_wait_s", 0.0) + _t1 - _t0
+        timings["plane_bytes"] = timings.get("plane_bytes", 0) + (
+            c0.nbytes + c1.nbytes + c2.nbytes + ws.nbytes
+        )
+        timings["pack_s"] = (
+            timings.get("pack_s", 0.0) + _time.perf_counter() - _t1
+        )
+    return payloads
+
+
+def _pack_py(prep, c0, c1, c2, ws):
+    """Pure-Python packing fallback (no native library)."""
     from .bitwriter import BitWriter
 
+    F, S = prep["F"], prep["S"]
+    hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
+    extra_plane, extra_w = prep["extra_plane"], prep["extra_w"]
     payloads = []
     for f in range(F):
         w = BitWriter()
         for v, wd in zip(
-            hv_all[h_lens[f] : h_lens[f + 1]].tolist(),
-            hw_all[h_lens[f] : h_lens[f + 1]].tolist(),
+            hv[h_off[f] : h_off[f + 1]].tolist(),
+            hw[h_off[f] : h_off[f + 1]].tolist(),
         ):
             w.write(int(v), int(wd))
-        n = int(ns_f[f])
-        lanes = [f, F + f] if stereo_f[f] else [f]
+        n = int(prep["ns_f"][f])
+        if extra_plane is not None and extra_w[f]:
+            eb = int(extra_w[f])
+            for i in range(n):
+                w.write(int(extra_plane[f, i]), eb)
+        lanes = [f, F + f] if prep["stereo_f"][f] else [f]
         for lane in lanes:
             for i in range(n):
-                w.write(int(v16[lane, i, 0]), int(widths_np[lane, i, 0]))
-                w.write(int(v32[lane, i, 0]), int(widths_np[lane, i, 1]))
-                w.write(int(v16[lane, i, 1]), int(widths_np[lane, i, 2]))
-                w.write(int(v32[lane, i, 1]), int(widths_np[lane, i, 3]))
+                b = int(ws[lane, i])
+                if b <= 32:
+                    w.write(int(c2[lane, i]), b)
+                elif b <= 64:
+                    w.write(int(c1[lane, i]), b - 32)
+                    w.write(int(c2[lane, i]), 32)
+                else:
+                    w.write(int(c0[lane, i]), b - 64)
+                    w.write(int(c1[lane, i]), 32)
+                    w.write(int(c2[lane, i]), 32)
         payloads.append(w.getvalue())
-    if timings is not None:
-        timings["pack_s"] = _time.perf_counter() - _t2
+    return payloads
+
+
+def encode_frames_tpu(
+    frames,
+    params: CodecParams,
+    config: EncoderConfig | None = None,
+    timings: dict | None = None,
+    chunk_frames: int | None = None,
+) -> list[bytes]:
+    """Encode PCM frames in device batches.
+
+    ``frames``: list of (n, ch) int arrays (mixed lengths/channels), or
+    a single (F, S, ch) array — the zero-copy batch form for uniform
+    full frames (e.g. a reshaped view of contiguous PCM).
+
+    Compressed path only (``force_uncompressed`` frames have no
+    sequential stage worth a device trip — use AlacEncoder).
+
+    Batches larger than ``chunk_frames`` (default CHUNK_FRAMES) run as a
+    bounded pipeline: host prep of the next chunk and packing of the
+    previous overlap the device automatons (<= 2 chunks in flight).
+
+    ``timings``: optional dict receiving per-stage wall times summed
+    over chunks — ``prep_s``, ``emit_wait_s`` (blocking plane readback;
+    on a tunneled chip the D2H dominates — ``plane_bytes`` records the
+    transfer size), ``pack_s``.
+    """
+    import time as _time
+
+    cfg = config or EncoderConfig()
+    if cfg.force_uncompressed:
+        raise ValueError("device encoder handles the compressed path only")
+    if cfg.uncompressed_bytes > 2:
+        # The combined per-sample extra-bits field (A:B interleaved) must
+        # fit one u32 plane value; the host AlacEncoder covers ub=3.
+        raise ValueError("device encoder supports uncompressed_bytes <= 2")
+    enc = AlacEncoder(params, cfg)  # validates params/config like the host
+    F = len(frames)
+    if F == 0:
+        return []
+    step = chunk_frames or CHUNK_FRAMES
+    payloads: list[bytes] = []
+    pending: list[tuple[dict, tuple]] = []
+
+    def drain_one():
+        prep, planes = pending.pop(0)
+        payloads.extend(_pack(prep, planes, timings))
+
+    for lo in range(0, F, step):
+        chunk = frames[lo : lo + step]
+        _t0 = _time.perf_counter()
+        prep = _prep(chunk, params, cfg, enc)
+        planes = _dispatch(prep, params, cfg)  # async
+        if timings is not None:
+            timings["prep_s"] = (
+                timings.get("prep_s", 0.0) + _time.perf_counter() - _t0
+            )
+        pending.append((prep, planes))
+        if len(pending) >= 2:
+            drain_one()
+    while pending:
+        drain_one()
     return payloads

@@ -56,6 +56,11 @@ class DecodeConfig:
     native: bool = dataclasses.field(
         default_factory=lambda: _env_bool("ALAC_NATIVE", True)
     )
+    #: Split planner spans at kernel-block order-bucket boundaries so
+    #: each dispatch gets a tight static max_order (A/B knob).
+    order_spans: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("ALAC_ORDER_SPANS", True)
+    )
 
     def validate(self) -> "DecodeConfig":
         if self.kernel not in ("auto", "fused", "xla"):

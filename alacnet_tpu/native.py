@@ -82,7 +82,7 @@ def get_lib() -> ctypes.CDLL | None:
                 return None
             lib = ctypes.CDLL(str(path))
             lib.alac_native_abi_version.restype = ctypes.c_int32
-            if lib.alac_native_abi_version() != 1:
+            if lib.alac_native_abi_version() != 2:
                 return None
             lib.alac_pack_frames.argtypes = [
                 _U8P, ctypes.c_int64, _I64P, _I64P,
@@ -118,6 +118,14 @@ def get_lib() -> ctypes.CDLL | None:
                 _U8P, ctypes.c_int64, _I64P,
             ]
             lib.alac_pack_symbol_frames.restype = None
+            lib.alac_pack_chunk_frames.argtypes = [
+                _U32P, _U8P, _I64P,
+                _U32P, _U8P,
+                _U32P, _U32P, _U32P, _I8P,
+                _I32P, _U8P, ctypes.c_int64, ctypes.c_int64,
+                _U8P, ctypes.c_int64, _I64P,
+            ]
+            lib.alac_pack_chunk_frames.restype = None
             _lib = lib
         except OSError:
             _lib = None
@@ -275,6 +283,48 @@ def pack_symbol_frames_native(
         np.ascontiguousarray(stereo, np.uint8),
         np.int64(F),
         np.int64(v16.shape[1]),
+        out,
+        np.int64(out_stride),
+        end_bits,
+    )
+    return out, end_bits
+
+
+def pack_chunk_frames_native(
+    hv, hw, h_off, extra, extra_w, c0, c1, c2, ws, n, stereo,
+    out_stride: int,
+):
+    """Assemble coded frames from device-merged 96-bit chunk planes, or
+    None when the native tier is unavailable.
+
+    ``extra``: optional (F, S) uint32 extra-bits plane (interleaved
+    channel fields per sample); ``extra_w``: (F,) uint8 per-frame field
+    width in bits (0 = frame has no extra section).  Returns
+    (out (F, out_stride) uint8, end_bits (F,) int64).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    F = len(n)
+    out = np.zeros((F, out_stride), np.uint8)
+    end_bits = np.zeros(F, np.int64)
+    if extra is None:
+        extra = np.zeros(1, np.uint32)
+        extra_w = np.zeros(F, np.uint8)
+    lib.alac_pack_chunk_frames(
+        np.ascontiguousarray(hv, np.uint32),
+        np.ascontiguousarray(hw, np.uint8),
+        np.ascontiguousarray(h_off, np.int64),
+        np.ascontiguousarray(extra, np.uint32),
+        np.ascontiguousarray(extra_w, np.uint8),
+        np.ascontiguousarray(c0, np.uint32),
+        np.ascontiguousarray(c1, np.uint32),
+        np.ascontiguousarray(c2, np.uint32),
+        np.ascontiguousarray(ws, np.int8),
+        np.ascontiguousarray(n, np.int32),
+        np.ascontiguousarray(stereo, np.uint8),
+        np.int64(F),
+        np.int64(c0.shape[1]),
         out,
         np.int64(out_stride),
         end_bits,

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codec.cookie import RICE_THRESHOLD
-from .bitops import I32, shl, sign_i32, signext, sra
+from .bitops import I32, U32, shl, sign_i32, signext, sra
 from .lpc import MAX_ORDER, LpcParams
 
 
@@ -267,11 +267,68 @@ def rice_symbols(errs, zruns, n, params: RiceEncParams, num_samples: int):
     )
 
 
+def _shl_s(x, c):
+    """u32 << c with c in [0, 32] (c >= 32 -> 0; XLA shifts past the
+    width are undefined)."""
+    return jnp.where(c >= 32, jnp.zeros_like(x), x << (c.astype(U32) & 31))
+
+
+def _shr_s(x, c):
+    """u32 >> c with c in [0, 32]."""
+    return jnp.where(c >= 32, jnp.zeros_like(x), x >> (c.astype(U32) & 31))
+
+
+def merge_symbol_chunks(vals16, vals32, widths):
+    """Fold each sample's four bit fields into one right-aligned 96-bit
+    chunk — elementwise, so the host packer writes ONE multi-word field
+    per channel-sample instead of four (the pack stage is the encode
+    pipeline's serial bottleneck on a 1-core host; VERDICT r2 next #1).
+
+    Returns (c0, c1, c2 (B, S) uint32 — c0 holds the high bits, value
+    right-aligned in the low ``ws`` bits of c0:c1:c2 — and ws (B, S)
+    int8 total widths, <= 9+32+9+31 = 81).  Width-0 fields are no-ops,
+    matching the packer's convention.
+    """
+    h = jnp.zeros(vals16.shape[:2], U32)
+    m = jnp.zeros_like(h)
+    l = jnp.zeros_like(h)
+    one = jnp.ones_like(h)
+    fields = (
+        (vals16[:, :, 0], widths[:, :, 0]),
+        (vals32[:, :, 0], widths[:, :, 1]),
+        (vals16[:, :, 1], widths[:, :, 2]),
+        (vals32[:, :, 1], widths[:, :, 3]),
+    )
+    for val, w in fields:
+        w = w.astype(I32)
+        mask = _shl_s(one, w) - 1  # w=32 -> 0-1 = all ones
+        v = val.astype(I32).astype(U32) & mask
+        inv = 32 - w
+        h = _shl_s(h, w) | _shr_s(m, inv)
+        m = _shl_s(m, w) | _shr_s(l, inv)
+        l = _shl_s(l, w) | v
+    ws = (
+        widths[:, :, 0].astype(I32) + widths[:, :, 1]
+        + widths[:, :, 2] + widths[:, :, 3]
+    )
+    return h, m, l, ws.astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "max_order"))
 def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
                   max_order: int = MAX_ORDER):
     """One-dispatch device encode: residuals -> zero-run lookahead ->
-    rice symbol planes.  Returns (vals16, vals32, widths, bad)."""
+    rice symbols -> merged chunk planes.
+
+    Returns (c0, c1, c2 (B, S) uint32, ws (B, S) int8, bits (B,) int32
+    per-lane entropy-section bit totals, bad (B,) bool).  13 bytes per
+    sample of D2H vs 16 for the raw symbol planes, and the per-lane bit
+    totals come back as one (B,) vector instead of a host-side
+    reduction over the width planes.
+    """
     errs = predictor_errors(sig, n, lp, num_samples, max_order=max_order)
     zr = zero_run_lengths(errs, n, num_samples)
-    return rice_symbols(errs, zr, n, rp, num_samples)
+    v16, v32, widths, bad = rice_symbols(errs, zr, n, rp, num_samples)
+    c0, c1, c2, ws = merge_symbol_chunks(v16, v32, widths)
+    bits = jnp.sum(ws.astype(I32), axis=1)
+    return c0, c1, c2, ws, bits, bad

@@ -21,7 +21,7 @@ from ..ops.frame_decode import FrameMetaArrays, decode_frames_packed
 
 #: Lane-count buckets (powers of two up to the per-chip flight size from
 #: BASELINE.json: "4096 frames in flight per chip").
-BATCH_BUCKETS = (8, 64, 256, 1024, 2048, 4096)
+BATCH_BUCKETS = (8, 64, 256, 1024, 2048, 3072, 4096)
 #: Word-width rounding (uint32 words; 256 words = 1 KiB payload).
 WORD_BUCKET = 256
 
@@ -71,6 +71,9 @@ FUSED_MAX_WORDS = 11776
 
 #: Static max_order values _fused_plan rounds up to (ordered).
 _ORDER_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 30)
+#: Order 31 = pure integration (AlacFile.cs:283-292): no FIR window, no
+#: adaptive walk — contributes 0 to a block's static max_order.
+MAX_ORDER_SENTINEL = 31
 
 
 def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
@@ -217,19 +220,51 @@ def plan_blob_batches(
     # 16-bit spans (emit16 halves their D2H; dispatch_frame_batch
     # chooses the dtype per batch).  Sizes stay the fine key, so the
     # word-table width argument above is unaffected within each group.
+    # Finest key: adaptive-walk depth (order; 31 = pure integration
+    # needs no walk) — WITHIN equal sizes only, so the rejected
+    # order-primary plan's word-width penalty cannot occur.  Combined
+    # with the 1024-block span splitting below, it gives each dispatch
+    # a tight static max_order instead of the whole batch paying the
+    # deepest lane's FIR/adaptive unroll (VERDICT r2 next #2b).
     is_wide = hdr.sample_size != 16
-    perm = np.lexsort((sizes, is_wide, ~elig))
+    okey = np.where(hdr.order == MAX_ORDER_SENTINEL, 0, hdr.order).max(axis=1)
+    perm = np.lexsort((okey, sizes, is_wide, ~elig))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
     group = (~elig[perm]).astype(np.int8) * 2 + is_wide[perm].astype(np.int8)
     boundaries = sorted(
         {0, F} | set((np.flatnonzero(np.diff(group)) + 1).tolist())
     )
-    spans = [
-        (lo, min(lo + batch_limit, b_hi))
-        for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:])
-        for lo in range(b_lo, b_hi, batch_limit)
-    ]
+    # Span chunks split further at kernel-block (1024-lane) boundaries
+    # where the order bucket changes: sub-spans stay fused-eligible
+    # (multiples of FUSED_MIN_BATCH except tails, which padding covers)
+    # and each gets its own static max_order from _fused_plan — order-0
+    # and order-31 blocks skip the FIR/adaptive unroll entirely.
+    def _bucket(o: int) -> int:
+        return next(b for b in _ORDER_BUCKETS if b >= o)
+
+    from ..config import DEFAULT
+
+    ok_p = okey[perm]
+    spans = []
+    for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:]):
+        for lo in range(b_lo, b_hi, batch_limit):
+            hi = min(lo + batch_limit, b_hi)
+            sub, cur = lo, None
+            if DEFAULT.order_spans:
+                for blk in range(lo, hi, FUSED_MIN_BATCH):
+                    bk = _bucket(
+                        int(ok_p[blk : min(blk + FUSED_MIN_BATCH, hi)].max())
+                    )
+                    if cur is None:
+                        cur = bk
+                    elif bk != cur and hi - blk >= FUSED_MIN_BATCH:
+                        # Never split off a sub-span below one kernel
+                        # block: it would pad to a sub-1024 bucket and
+                        # lose fused eligibility (FUSED_MIN_BATCH).
+                        spans.append((sub, blk))
+                        sub, cur = blk, bk
+            spans.append((sub, hi))
     hdr_fields = [
         f.name for f in dataclasses.fields(FrameBatch) if f.name != "words"
     ]
