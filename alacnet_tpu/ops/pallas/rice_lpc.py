@@ -32,6 +32,21 @@ Design (see SURVEY.md §7 "hard parts"):
     (the dominant fixed cost, ~35% of the kernel in the per-sample
     design) now run once per pair.
 
+  * **Streaming window (round 3)** — fat frames whose whole table
+    would only fit a narrow lane tile (24-bit noise + extra-bits runs
+    ~30 KB coded: sub=2, 1/4-utilized vregs) instead keep a sliding
+    window of `stream_G` groups resident at sub=8: an outer while loop
+    DMAs groups [base, base+G) (base = slowest live lane's group),
+    an inner while runs sample pairs while every live lane's worst-case
+    need (wp+17 words) stays inside the window.  Monotone cursors make
+    the window a pure look-ahead cache; a block whose lanes diverge
+    wider than the window (adversarial front-/back-loaded streams only
+    — size-sorted real content advances near-uniformly) reports a
+    per-block stall flag and the host re-decodes it whole-table
+    (plan_tiles, parallel/pipeline.decode_blob).  Measured on the fat24
+    corpus: 408 -> ~790 Msamples/s (sub=2 whole-table -> sub=8
+    streaming); hires24 788 -> ~890.
+
   * **LPC fusion** — the Rice output feeds the adaptive FIR directly
     (base-aligned window D and reversed coefs rc, see ops/lpc.py for the
     layout proof).  D lives in a VMEM ring buffer; the FIR and the
@@ -91,6 +106,44 @@ def pick_sub(B: int, W8: int) -> int:
         f"frame word table too large for VMEM ({W8 * 8} words/frame); "
         "gate with parallel.pipeline.FUSED_MAX_WORDS and use the XLA path"
     )
+
+
+#: Narrowest lane tile allowed to keep whole-table residency before the
+#: planner switches to the streaming window (see plan_tiles).
+STREAM_MIN_SUB = 8
+
+
+def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
+    """(sub, stream_G): lane-tile width and streaming window size.
+
+    stream_G == 0 means the whole (W8, 8, sub, 128) word table is VMEM
+    resident (the classic layout).  When whole-table residency would
+    force sub < STREAM_MIN_SUB (fat frames: 24-bit noise + extra-bits
+    runs ~30 KB coded, which fits only the 1/4-utilized sub=2 tile), the
+    kernel instead keeps a sliding window of ``stream_G`` groups in VMEM
+    at sub=8 — full-width vregs, ~3x the fat-frame throughput — and
+    refills it between bounded runs of sample pairs.  Correctness under
+    arbitrary cross-lane divergence is preserved by the in-kernel stall
+    flag: a block whose lanes spread wider than the window reports
+    ``stalled`` and the host re-decodes it whole-table (impossible for
+    real content in size-sorted blocks; reachable only by adversarial
+    front-/back-loaded bit distributions, tests/test_pallas_kernel.py).
+    """
+    can_stream = (
+        B % (STREAM_MIN_SUB * LN) == 0
+        and num_samples % 2 == 0  # streaming runs the pair-unrolled loop
+        and WORDS_VMEM_BUDGET // (8 * STREAM_MIN_SUB * LN * 4) >= 2
+    )
+    try:
+        sub = pick_sub(B, W8)
+    except ValueError:
+        if not can_stream:
+            raise
+        sub = 0
+    if sub >= STREAM_MIN_SUB or not can_stream:
+        return sub, 0
+    g = WORDS_VMEM_BUDGET // (8 * STREAM_MIN_SUB * LN * 4)
+    return STREAM_MIN_SUB, min(g, W8 - 1)
 
 
 def _sel8(b2, b1, b0, x):
@@ -170,7 +223,7 @@ def make_fetch_words(wvmem, W8: int, sub: int):
 
     mode = _fetch_mode()
 
-    def fetch_words(wp, live, K: int, ablate=()):
+    def fetch_words(wp, live, K: int, ablate=(), base=None):
         lives = live if isinstance(live, (list, tuple)) else [live] * K
         wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
         if "staticrange" in ablate:  # timing ablation only — breaks parity
@@ -192,9 +245,12 @@ def make_fetch_words(wvmem, W8: int, sub: int):
         acc = [jnp.zeros((sub, LN), U32) for _ in range(K)]
 
         def body(g, acc):
+            # ``g`` is the ABSOLUTE group index; a streaming window
+            # holds groups [base, base+G), so the VMEM row is g - base.
+            gv = g if base is None else g - base
             out = []
             if sub >= 8 and mode == "sweep":
-                tile = wvmem[g].reshape(8, sub * LN)
+                tile = wvmem[gv].reshape(8, sub * LN)
                 for k in range(K):
                     o = (wps[k] & 7).reshape(1, sub * LN)
                     idx = jnp.broadcast_to(o, (8, sub * LN))
@@ -205,7 +261,7 @@ def make_fetch_words(wvmem, W8: int, sub: int):
                 # 8 row loads shared by all K words, then a 3-level
                 # select tree per word (bit2 -> bit1 -> bit0 of the
                 # intra-group index): 8 loads + K*(3 cmp + 7 sel).
-                rows = [wvmem[g, j].astype(U32) for j in range(8)]
+                rows = [wvmem[gv, j].astype(U32) for j in range(8)]
                 for k in range(K):
                     o = wps[k] & 7
                     b2 = (o & 4) != 0
@@ -294,11 +350,12 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
 
 def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             wvmem, otile, sem_w, sem_o, *, W8, S, max_order,
-            out_tile, sub, ablate=()):
+            out_tile, sub, stream_G=0, ablate=()):
     nb = pl.program_id(0)
-    # Stage this block's word table into VMEM (single rectangular DMA).
-    cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
-    cp.start()
+    if not stream_G:
+        # Stage this block's whole word table into VMEM (one DMA).
+        cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
+        cp.start()
 
     start = params_ref[0, P_START]
     n = params_ref[0, P_N]
@@ -324,14 +381,33 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     append_slot = order  # D ring slot written each step (base-aligned)
     tmax = max_order  # static: block-level max adaptive-walk depth
 
-    cp.wait()
-
     fetch_words = make_fetch_words(wvmem, W8, sub)
-
-    # ---- reservoir init: R = words[wp0 .. wp0+8) ----
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
-    R = fetch_words(wp0, live0, 8)
+
+    def load_window(base):
+        """DMA groups [base, base+G) of this block's table into the
+        sliding VMEM window (streaming mode only)."""
+        cpw = pltpu.make_async_copy(
+            words_hbm.at[nb, pl.ds(base, stream_G)], wvmem, sem_w
+        )
+        cpw.start()
+        cpw.wait()
+
+    def window_base(wp, live):
+        """Window base for the current lane positions: follow the
+        slowest live lane, clamped so the window never runs past W8."""
+        lo = jnp.min(jnp.where(live, wp >> 3, W8)).astype(I32)
+        return jnp.clip(lo, 0, max(W8 - stream_G, 0))
+
+    if stream_G:
+        base0 = window_base(wp0, live0)
+        load_window(base0)
+        R = fetch_words(wp0, live0, 8, base=base0)
+    else:
+        cp.wait()
+        # ---- reservoir init: R = words[wp0 .. wp0+8) ----
+        R = fetch_words(wp0, live0, 8)
 
     def step(i, carry):
         bitpos, wp, *R, hist, signmod, zrun, prev, D, rc = carry
@@ -460,7 +536,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             hist_n, sign_n, zrun_n, prev_n, D, rc,
         )
 
-    def advance(carry):
+    def advance(carry, base=None):
         """Renormalize the 8-word reservoir after a pair of samples.
 
         Two samples consume <= 132 bits, so the intra-reservoir offset is
@@ -476,10 +552,12 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         if "nofetch" in ablate:  # timing ablation only — breaks parity
             F = (R[1], R[2], R[3], R[4], R[5])
         elif "k1" in ablate:  # timing ablation only
-            F = tuple(fetch_words(wp + 8, need, 1)) + (R[2], R[3], R[4], R[5])
+            F = tuple(fetch_words(wp + 8, need, 1, base=base)) + (
+                R[2], R[3], R[4], R[5])
         else:
             F = fetch_words(
-                wp + 8, [shifts > k for k in range(5)], 5, ablate=ablate
+                wp + 8, [shifts > k for k in range(5)], 5, ablate=ablate,
+                base=base,
             )
         R = list(R)
         for kk in range(5):
@@ -515,7 +593,61 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     # measured SLOWER at the 4-word design (register pressure); 2x also
     # matches the reservoir budget (2 x 66 bits < 8 words).
     unroll = 2 if S % 2 == 0 else 1
-    if unroll > 1:
+    stalled = jnp.zeros((), jnp.bool_)
+    if stream_G:
+        # ---- streaming window: run pairs while every live lane's need
+        # fits the resident groups; reload the window between runs.
+        # A fresh window that admits NO pair (cross-lane spread wider
+        # than the window) sets `stalled` — the host re-decodes that
+        # block whole-table (plan_tiles docstring).
+        trips = (nmax + unroll - 1) // unroll
+
+        def stepu(j, c, base):
+            for u in range(unroll):
+                c = step(unroll * j + u, c)
+            return advance(c, base=base)
+
+        def fits(j, carry, base):
+            """Can pair j run entirely from window [base, base+G)?
+            A pair consumes <= 5 words and its renormalization fetches
+            words wp+8..wp+12, so worst need is wp+17; lanes never read
+            past W8-1 (fetch clips), hence the min."""
+            wp = carry[1]
+            live = (unroll * j) < n
+            hi = jnp.max(jnp.where(live, wp, 0)) + 17
+            return jnp.minimum(hi >> 3, W8 - 1) < base + stream_G
+
+        def outer_cond(st):
+            j, stall, _ = st
+            return (j < trips) & jnp.logical_not(stall)
+
+        def outer_body(st):
+            j0, _, carry = st
+            wp = carry[1]
+            live = (unroll * j0) < n
+            base = window_base(wp, live)
+            load_window(base)
+
+            def inner_cond(t):
+                return t[1]
+
+            def inner_body(t):
+                j, _, c = t
+                c = stepu(j, c, base)
+                j = j + 1
+                return (j, (j < trips) & fits(j, c, base), c)
+
+            j1, _, carry = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (j0, (j0 < trips) & fits(j0, carry, base), carry),
+            )
+            return (j1, j1 == j0, carry)
+
+        j_end, stalled, carry = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.zeros((), I32), stalled, carry)
+        )
+        processed = unroll * j_end
+    elif unroll > 1:
         def stepu(j, c):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
@@ -549,12 +681,16 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         cp.wait()
 
     state_ref[0, 0] = carry[0]  # end bit position
-    for r in range(1, 8):
+    state_ref[0, 1] = jnp.broadcast_to(  # streaming stall flag
+        stalled.astype(I32), (sub, LN)
+    )
+    for r in range(2, 8):
         state_ref[0, r] = zeros
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "max_order", "interpret", "ablate")
+    jax.jit,
+    static_argnames=("num_samples", "max_order", "interpret", "whole_table", "ablate"),
 )
 def fused_rice_lpc(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
@@ -565,11 +701,16 @@ def fused_rice_lpc(
     num_samples: int,
     max_order: int = MAX_ORDER,
     interpret: bool = False,
+    whole_table: bool = False,
     ablate: tuple = (),
 ):
     """Decode+reconstruct one channel for a lane batch.
 
     Returns (out (B, num_samples) int32, end_bitpos (B,) int32).
+    end_bitpos is -1 for every lane of a streaming-mode block that
+    stalled (cross-lane divergence wider than the VMEM window — see
+    plan_tiles); ``whole_table=True`` forces the classic whole-table
+    residency (the host's stall fallback, and an A/B knob).
     """
     if ablate and os.environ.get("ALAC_ABLATE") != "1":
         # Ablated variants produce WRONG output by design (profiling
@@ -580,13 +721,16 @@ def fused_rice_lpc(
             "bit parity; set ALAC_ABLATE=1 to confirm"
         )
     B, W = words.shape
-    # pick_sub re-checks divisibility for the tile it selects; 128 is
+    # plan_tiles re-checks divisibility for the tile it selects; 128 is
     # the hard floor (one vreg lane row).
     assert B % LN == 0 and W % 8 == 0, (B, W)
     W8 = W // 8
     S = num_samples
 
-    sub = pick_sub(B, W8)
+    if whole_table:
+        sub, stream_G = pick_sub(B, W8), 0
+    else:
+        sub, stream_G = plan_tiles(B, W8, S)
     lanes = sub * LN
     NB = B // lanes
 
@@ -606,9 +750,13 @@ def fused_rice_lpc(
 
     # Smaller output staging for wide tiles (VMEM headroom).
     out_tile = min(OUT_TILE if sub <= 8 else 128, S)
+    if stream_G and S % out_tile:
+        stream_G = 0  # streaming's stall tail-flush needs out_tile | S
+        sub = pick_sub(B, W8)
+        lanes, NB = sub * LN, B // (sub * LN)
     kern = functools.partial(
         _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub,
-        ablate=ablate,
+        stream_G=stream_G, ablate=ablate,
     )
     out, state = pl.pallas_call(
         kern,
@@ -627,7 +775,7 @@ def fused_rice_lpc(
             jax.ShapeDtypeStruct((NB, 8, sub, LN), I32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W8, 8, sub, LN), U32),
+            pltpu.VMEM((stream_G or W8, 8, sub, LN), U32),
             pltpu.VMEM((out_tile, sub, LN), I32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -638,4 +786,10 @@ def fused_rice_lpc(
 
     out_b = out.transpose(0, 2, 3, 1).reshape(B, S)
     end = state[:, 0].reshape(B)
+    if stream_G:
+        # A stalled block's lanes report end = -1 (bit positions are
+        # otherwise non-negative); decode_frames folds this into n = -1
+        # and the pipeline re-decodes those frames whole-table.
+        stalled = state[:, 1].reshape(B) != 0
+        end = jnp.where(stalled, jnp.full_like(end, -1), end)
     return out_b, end

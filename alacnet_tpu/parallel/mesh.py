@@ -70,6 +70,7 @@ def decode_frames_spmd(
     use_fused: bool = False,
     max_order: int = 31,
     emit16: bool = False,
+    whole_table: bool = False,
 ):
     """decode_frames over mesh-sharded inputs via shard_map.
 
@@ -87,6 +88,7 @@ def decode_frames_spmd(
         return decode_frames(
             w, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
+            whole_table=whole_table,
         )
 
     # check_vma=False: decode_frames' lax.cond fast-skips pair a varying

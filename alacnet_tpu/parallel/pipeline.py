@@ -110,7 +110,9 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
     return use, max_order
 
 
-def dispatch_frame_batch(fb: FrameBatch, max_samples: int, mesh=None):
+def dispatch_frame_batch(
+    fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False
+):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
     JAX dispatch is asynchronous, so the caller can keep parsing the next
@@ -141,6 +143,7 @@ def dispatch_frame_batch(fb: FrameBatch, max_samples: int, mesh=None):
         out, n = decode_frames_spmd(
             words, meta, mesh, max_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
+            whole_table=whole_table,
         )
         return out, n, orig_b
     # Two H2D transfers per batch (words + one packed metadata matrix):
@@ -152,6 +155,7 @@ def dispatch_frame_batch(fb: FrameBatch, max_samples: int, mesh=None):
         use_fused=use_fused,
         max_order=max_order,
         emit16=emit16,
+        whole_table=whole_table,
     )
     return out, n, orig_b
 
@@ -336,13 +340,23 @@ def decode_blob(
     pending: list = []
 
     def drain_one():
-        out_d, n_d, orig_b, frames, nbytes, status = pending.pop(0)
+        out_d, n_d, orig_b, frames, nbytes, status, fb = pending.pop(0)
         if sink is not None:
             sink(out_d, n_d, orig_b)
             GLOBAL_STATS.record(frames=frames, coded_bytes=nbytes)
             sts.append(status)
             return
         with trace_span("alac.device.result_wait", "result_wait_seconds"):
+            out = np.asarray(out_d[:orig_b])
+            n = np.asarray(n_d[:orig_b])
+        if (n < 0).any():
+            # A streaming-mode kernel block stalled (cross-lane
+            # divergence wider than the VMEM window — adversarial
+            # inputs only; ops/pallas/rice_lpc.plan_tiles).  Re-decode
+            # the span with classic whole-table residency.
+            out_d, n_d, _ = dispatch_frame_batch(
+                fb, max_samples, mesh=mesh, whole_table=True
+            )
             out = np.asarray(out_d[:orig_b])
             n = np.asarray(n_d[:orig_b])
         GLOBAL_STATS.record(
@@ -359,7 +373,7 @@ def decode_blob(
         out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples, mesh=mesh)
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),
-             fb.status[: hi - lo])
+             fb.status[: hi - lo], fb)
         )
         if len(pending) >= 2:
             drain_one()

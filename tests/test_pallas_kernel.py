@@ -353,3 +353,116 @@ def test_fetch_mode_validated(monkeypatch):
     assert _fetch_mode() == "sweep"
     monkeypatch.delenv("ALAC_FETCH_MODE")
     assert _fetch_mode() == "ladder"
+
+
+class TestStreamingWindow:
+    """Sliding-window word table (fat frames at sub=8; rice_lpc.plan_tiles)."""
+
+    WIDE = 3200  # words -> W8=400 > the whole-table sub>=8 cap -> streams
+
+    @pytest.fixture()
+    def batch(self, rng):
+        from alacnet_tpu.codec.cookie import default_cookie
+
+        S = 64
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        payloads = [
+            enc.encode_frame(
+                rng.integers(-2000, 2000, (S, 2)).astype(np.int32)
+            )
+            for _ in range(8)
+        ]
+        fb = parse_frame_headers_vec(payloads, params)
+        B0 = fb.batch
+
+        def pad(a):
+            out = np.zeros((LANES,) + a.shape[1:], a.dtype)
+            out[:B0] = a
+            return jnp.asarray(out)
+
+        words = np.zeros((LANES, self.WIDE), np.uint32)
+        words[:B0, : fb.words.shape[1]] = fb.words
+        args = (
+            pad(fb.rss), pad(fb.kmod), pad(fb.init_history),
+            pad(fb.rice_mult[:, 0]), pad(fb.kmask),
+            pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        )
+        return (jnp.asarray(words), pad(fb.entropy_pos), pad(fb.n_samples),
+                args, B0, S)
+
+    def _xla_ref(self, words, start, n, args, S):
+        err, endp = rice_decode(words, start, n, RiceParams(*args[:5]), S)
+        ref = lpc_decode(
+            err, n,
+            LpcParams(order=args[5], quant=args[6], rc=args[7], rss=args[0]),
+            S,
+        )
+        return ref, endp
+
+    def test_plan_tiles_streams_fat_tables(self):
+        from alacnet_tpu.ops.pallas.rice_lpc import plan_tiles
+
+        sub, g = plan_tiles(LANES, self.WIDE // 8, 64)
+        assert sub == 8 and 0 < g < self.WIDE // 8
+
+    def test_streaming_parity(self, batch):
+        words, start, n, args, B0, S = batch
+        ref, endp = self._xla_ref(words, start, n, args, S)
+        out, end = fused_rice_lpc(
+            words, start, n, *args, S, max_order=4,
+            interpret=jax.default_backend() != "tpu",
+        )
+        np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+        np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+    def test_multi_epoch_window_reload(self, batch, monkeypatch):
+        """A tiny window forces several load_window epochs per frame."""
+        import alacnet_tpu.ops.pallas.rice_lpc as RL
+
+        words, start, n, args, B0, S = batch
+        ref, endp = self._xla_ref(words, start, n, args, S)
+        monkeypatch.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
+        RL.fused_rice_lpc._clear_cache()
+        try:
+            assert RL.plan_tiles(LANES, self.WIDE // 8, S) == (8, 8)
+            out, end = fused_rice_lpc(
+                words, start, n, *args, S, max_order=4,
+                interpret=jax.default_backend() != "tpu",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out)[:B0], np.asarray(ref)[:B0]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(end)[:B0], np.asarray(endp)[:B0]
+            )
+        finally:
+            RL.fused_rice_lpc._clear_cache()
+
+    def test_stall_flag_and_whole_table_fallback(self, batch, monkeypatch):
+        """Cross-lane spread wider than the window -> every lane of the
+        block reports end = -1; whole_table=True decodes it correctly."""
+        import alacnet_tpu.ops.pallas.rice_lpc as RL
+
+        words, start, n, args, B0, S = batch
+        start2 = np.asarray(start).copy()
+        start2[1] = 32 * (self.WIDE - 200)  # lane 1 starts ~3000 words in
+        start2 = jnp.asarray(start2)
+        interp = jax.default_backend() != "tpu"
+        with monkeypatch.context() as m:
+            m.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
+            RL.fused_rice_lpc._clear_cache()
+            try:
+                _, end = fused_rice_lpc(
+                    words, start2, n, *args, S, max_order=4, interpret=interp
+                )
+                assert (np.asarray(end)[:B0] == -1).all()
+            finally:
+                RL.fused_rice_lpc._clear_cache()
+        ref, endp = self._xla_ref(words, start2, n, args, S)
+        out, end = fused_rice_lpc(
+            words, start2, n, *args, S, max_order=4,
+            interpret=interp, whole_table=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+        np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])

@@ -162,3 +162,34 @@ class TestDecodeBlobMixedOrders:
         np.testing.assert_array_equal(n, payload_n)
         for i, pcm in enumerate(pcms):
             np.testing.assert_array_equal(out[i, : n[i], :], pcm)
+
+
+class TestStallFallback:
+    def test_drain_redecodes_stalled_spans_whole_table(self, monkeypatch):
+        """decode_blob must transparently re-dispatch a span whose
+        streaming kernel block stalled (n = -1) with whole_table=True
+        (ops/pallas/rice_lpc.plan_tiles stall contract)."""
+        import alacnet_tpu.parallel.pipeline as pl
+
+        blob, offsets, sizes, params, pcms = _corpus()
+        real_dispatch = pl.dispatch_frame_batch
+        calls = []
+
+        def fake_dispatch(fb, max_samples, mesh=None, whole_table=False):
+            out, n, orig_b = real_dispatch(
+                fb, max_samples, mesh=mesh, whole_table=whole_table
+            )
+            calls.append(whole_table)
+            if not whole_table and len(calls) == 1:
+                # simulate a streaming stall on the first span
+                n = np.full_like(np.asarray(n), -1)
+            return out, n, orig_b
+
+        monkeypatch.setattr(pl, "dispatch_frame_batch", fake_dispatch)
+        out, n, status = pl.decode_blob(
+            blob, offsets, sizes, params, S
+        )
+        assert True in calls, "whole-table retry never dispatched"
+        assert (n >= 0).all()
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, : n[i], :], pcm)
