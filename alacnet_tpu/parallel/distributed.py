@@ -44,17 +44,26 @@ def initialize(
     coordinator_address: str,
     num_processes: int,
     process_id: int,
+    initialization_timeout: int | None = None,
 ) -> None:
     """Join the distributed runtime (jax.distributed.initialize).
 
     Call once per process before any device computation.  On TPU pods
     the arguments are inferred from the environment and may be omitted
     by calling ``jax.distributed.initialize()`` directly.
+
+    ``initialization_timeout`` (seconds) bounds the wait for peers: a
+    worker that never arrives fails the job cleanly instead of hanging
+    it (SURVEY.md §5 failure detection; default is JAX's 300 s).
     """
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = initialization_timeout
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        **kw,
     )
 
 

@@ -1,17 +1,30 @@
-"""On-hardware validation: compiled Pallas kernel vs XLA path + throughput.
+"""On-hardware validation: compiled Pallas kernels vs XLA path, per corpus.
 
-Run on a machine with a TPU attached (the CPU test suite covers the same
-kernel via the Pallas interpreter):
+The CPU test suite runs the same kernels through the Pallas interpreter;
+compiled-vs-interpreted divergence (e.g. the kz shift-lowering incident,
+docs/DESIGN.md §4) is this kernel's most likely regression class, so every
+round records a hardware artifact (VERDICT r2 next #5):
 
-    python scripts/tpu_check.py [--batch 4096] [--frame-samples 4096]
+    python scripts/tpu_check.py --out TPUCHECK_r03.json
 
-Prints parity verdicts and per-pass throughput.
+Checks, all against the reference-semantics XLA scan path bit for bit:
+  * every bench corpus kind (music/spiky/silence/orders/hires24/fat24)
+    through the PRODUCTION batching path (plan_blob_batches spans,
+    per-span static max_order, streaming window for the fat kinds);
+  * a randomized differential mini-fuzz (structurally valid headers +
+    arbitrary entropy bodies, tests/test_fuzz_differential payload
+    generator) — compiled fused == XLA == scalar oracle.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
@@ -20,62 +33,130 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from alacnet_tpu.bench_lib import make_corpus_frames  # noqa: E402
-from alacnet_tpu.codec.framemeta_vec import parse_frame_headers_vec  # noqa: E402
-from alacnet_tpu.ops.lpc import LpcParams, lpc_decode  # noqa: E402
-from alacnet_tpu.ops.pallas.rice_lpc import fused_rice_lpc  # noqa: E402
-from alacnet_tpu.ops.rice import RiceParams, rice_decode  # noqa: E402
+from alacnet_tpu.bench_lib import CORPUS_KINDS, make_corpus_frames  # noqa: E402
+from alacnet_tpu.ops.frame_decode import (  # noqa: E402
+    FrameMetaArrays, decode_frames_packed,
+)
+from alacnet_tpu.parallel.pipeline import (  # noqa: E402
+    _fused_plan, pad_frame_batch, plan_blob_batches,
+)
+
+
+def check_kind(kind: str, batch: int, frame_samples: int) -> dict:
+    distinct, params = make_corpus_frames(
+        num_distinct=16, frame_samples=frame_samples, kind=kind
+    )
+    payloads = [distinct[i % len(distinct)] for i in range(batch)]
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
+    perm, _, spans, span_batch = plan_blob_batches(
+        blob, offsets, sizes, params, batch, strict=True
+    )
+    ok = True
+    fused_any = False
+    total = 0
+    t0 = time.time()
+    for lo, hi in spans:
+        fb = pad_frame_batch(span_batch(perm[lo:hi]))
+        uf, mo = _fused_plan(fb)
+        fused_any = fused_any or uf
+        w = jnp.asarray(fb.words)
+        mv = jnp.asarray(FrameMetaArrays.pack_host(fb))
+        out, n = decode_frames_packed(
+            w, mv, frame_samples, use_fused=uf, max_order=mo
+        )
+        n_h = np.asarray(n)
+        ok = ok and (n_h >= 0).all()  # no streaming stalls on real corpora
+        total += int(n_h.clip(0).sum())
+        if uf:
+            ref, _ = decode_frames_packed(
+                w, mv, frame_samples, use_fused=False, max_order=mo
+            )
+            ok = ok and bool(jnp.array_equal(out, ref).item())
+    return {
+        "parity_ok": bool(ok),
+        "fused": fused_any,
+        "spans": len(spans),
+        "samples": total,
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
+def check_fuzz(count: int, seed: int) -> dict:
+    """Compiled fused == XLA == scalar oracle on random-body payloads."""
+    from tests.test_fuzz_differential import S as FS
+    from tests.test_fuzz_differential import (
+        _fused_vs_xla_channel, _random_payload,
+    )
+    from tests.test_handcrafted import oracle_frame
+
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.framemeta_vec import parse_frame_headers_vec
+    from alacnet_tpu.ops.frame_decode import decode_frames
+    from alacnet_tpu.ops.pallas.rice_lpc import LANES
+
+    rng = np.random.default_rng(seed)
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=FS)
+    pls = [_random_payload(rng, params, 16) for _ in range(count)]
+    payloads = [p for p, _ in pls]
+    fb = parse_frame_headers_vec(payloads, params)
+    meta = FrameMetaArrays.from_batch(fb)
+    out = np.asarray(decode_frames(jnp.asarray(fb.words), meta, FS)[0])
+    oracle_ok = True
+    for i in rng.choice(count, size=min(64, count), replace=False):
+        nch = pls[i][1]
+        expect = oracle_frame(params, payloads[i], nch)
+        oracle_ok = oracle_ok and np.array_equal(
+            out[i, : expect.shape[0], :nch], expect
+        )
+    pad_b = -(-fb.batch // LANES) * LANES
+    fbp = pad_frame_batch(fb, pad_b)
+    n_comp = jnp.asarray(np.clip(fbp.n_samples, 0, FS) * fbp.is_compressed)
+    n_b = jnp.asarray(
+        np.clip(fbp.n_samples, 0, FS) * fbp.is_compressed * fbp.is_stereo
+    )
+    try:
+        end_a = _fused_vs_xla_channel(
+            fbp, 0, jnp.asarray(fbp.entropy_pos), n_comp, FS
+        )
+        _fused_vs_xla_channel(fbp, 1, end_a, n_b, FS)
+        fused_ok = True
+    except AssertionError:
+        fused_ok = False
+    return {
+        "count": count,
+        "oracle_ok": bool(oracle_ok),
+        "fused_ok": fused_ok,
+        "parity_ok": bool(oracle_ok and fused_ok),
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--frame-samples", type=int, default=4096)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fuzz", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     assert jax.default_backend() == "tpu", jax.default_backend()
-    S, B = args.frame_samples, args.batch
-    distinct, params = make_corpus_frames(num_distinct=32, frame_samples=S)
-    payloads = [distinct[i % 32] for i in range(B)]
-    fb = parse_frame_headers_vec(payloads, params)
-    words = jnp.asarray(fb.words)
-    a = [
-        jnp.asarray(x)
-        for x in (
-            fb.entropy_pos, fb.n_samples, fb.rss, fb.kmod, fb.init_history,
-            fb.rice_mult[:, 0], fb.kmask, fb.order[:, 0], fb.quant[:, 0],
-            fb.rc[:, 0],
-        )
-    ]
-    jax.block_until_ready(words)
-    jax.block_until_ready(a)
-    orders = fb.order[fb.order != 31]
-    mo = int(orders.max()) if orders.size else 0
-
-    t0 = time.time()
-    out, end = fused_rice_lpc(words, *a, S, max_order=mo)
-    jnp.sum(out).item()
-    print(f"compile+first run: {time.time() - t0:.1f}s")
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.time()
-        out, end = fused_rice_lpc(words, *a, S, max_order=mo)
-        jnp.sum(out).item()
-        times.append(time.time() - t0)
-    best = min(times)
-    print(
-        f"fused channel pass: {best * 1e3:.1f} ms -> "
-        f"{B * S / best / 1e6:.0f} Msamples/s"
-    )
-
-    rp = RiceParams(rss=a[2], kmod=a[3], init_history=a[4], mult=a[5], kmask=a[6])
-    err, endp = rice_decode(words, a[0], a[1], rp, S)
-    ref = lpc_decode(err, a[1], LpcParams(order=a[7], quant=a[8], rc=a[9], rss=a[2]), S)
-    ok_out = np.array_equal(np.asarray(out), np.asarray(ref))
-    ok_end = np.array_equal(np.asarray(end), np.asarray(endp))
-    print(f"parity vs XLA path: out={ok_out} endpos={ok_end}")
-    return 0 if (ok_out and ok_end) else 1
+    record = {"backend": "tpu", "kinds": {}, "batch": args.batch}
+    all_ok = True
+    for kind in CORPUS_KINDS:
+        r = check_kind(kind, args.batch, args.frame_samples)
+        record["kinds"][kind] = r
+        all_ok = all_ok and r["parity_ok"]
+        print(f"{kind}: {r}")
+    record["fuzz"] = check_fuzz(args.fuzz, args.seed)
+    all_ok = all_ok and record["fuzz"]["parity_ok"]
+    print("fuzz:", record["fuzz"])
+    record["all_ok"] = all_ok
+    if args.out:
+        Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
+        print(f"wrote {args.out}")
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
