@@ -55,6 +55,10 @@ class AlacContext:
         self._cache_out: np.ndarray | None = None
         self._cache_n: np.ndarray | None = None
         self._lock = threading.Lock()
+        # One-slot readahead: (first_frame, Future) for the window the
+        # sequential reader will want next (VERDICT r2 next #10).
+        self._prefetch: tuple[int, object] | None = None
+        self._executor = None
 
     # -- metadata getters (AlacContext.cs:83-122) ---------------------------
 
@@ -80,16 +84,13 @@ class AlacContext:
 
     # -- decode window management -------------------------------------------
 
-    def _decode_window(self, first: int) -> None:
-        """Decode frames [first, first+window) through the blob path.
+    def _read_window_bytes(self, first: int):
+        """Read the coded bytes of frames [first, first+window).
 
-        One contiguous-span read + the native parse/pack pipeline
-        (parallel.pipeline.decode_blob) instead of a per-frame Python
-        seek/read loop — frames of a window are adjacent in mdat except
-        across chunk gaps, so a single [min, max) span read covers them.
+        Stream IO stays on the CALLER's thread (the prefetch worker only
+        ever decodes an already-read blob), so the reposition lock's
+        guarantees are untouched.
         """
-        from .parallel.pipeline import decode_blob
-
         hi = min(first + self._window, self.num_frames)
         offs = self._offsets[first:hi].astype(np.int64)
         sizes = self._sizes[first:hi].astype(np.int64)
@@ -113,13 +114,57 @@ class AlacContext:
                 blob[int(blob_offs[f]) : int(blob_offs[f]) + len(chunk)] = (
                     np.frombuffer(chunk, np.uint8)
                 )
+        return blob, blob_offs, sizes
+
+    @staticmethod
+    def _decode_window_blob(blob, blob_offs, sizes, params):
+        from .parallel.pipeline import decode_blob
+
         out, n, _ = decode_blob(
-            blob, blob_offs, sizes, self.info.params,
-            self.info.params.max_samples_per_frame,
+            blob, blob_offs, sizes, params, params.max_samples_per_frame
         )
+        return out, n
+
+    def _decode_window(self, first: int) -> None:
+        """Decode frames [first, first+window) through the blob path.
+
+        One contiguous-span read + the native parse/pack pipeline
+        (parallel.pipeline.decode_blob) instead of a per-frame Python
+        seek/read loop — frames of a window are adjacent in mdat except
+        across chunk gaps, so a single [min, max) span read covers them.
+
+        Sequential reads get READAHEAD: after serving window k this
+        dispatches window k+1 on a one-slot worker, so the device (and
+        the parse pipeline) works on the next window while the caller
+        consumes this one instead of idling between windows.
+        """
+        params = self.info.params
+        if self._prefetch is not None and self._prefetch[0] == first:
+            _, fut = self._prefetch
+            self._prefetch = None
+            out, n = fut.result()
+        else:
+            out, n = self._decode_window_blob(
+                *self._read_window_bytes(first), params
+            )
         self._cache_first = first
         self._cache_out = out
         self._cache_n = n
+        nxt = first + self._window
+        if nxt < self.num_frames and (
+            self._prefetch is None or self._prefetch[0] != nxt
+        ):
+            if self._executor is None:
+                import concurrent.futures
+
+                self._executor = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="alac-readahead"
+                )
+            args = self._read_window_bytes(nxt)
+            self._prefetch = (
+                nxt,
+                self._executor.submit(self._decode_window_blob, *args, params),
+            )
 
     def _frame_samples(self, frame: int) -> np.ndarray:
         """Decoded (n, channels) int32 samples of one frame."""
@@ -209,6 +254,10 @@ class AlacContext:
     # -- lifecycle -------------------------------------------------------------
 
     def close(self) -> None:
+        if self._executor is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+        self._prefetch = None
         if self._dispose_stream:
             self._stream.close()
 

@@ -364,3 +364,48 @@ class TestReaderFuzz:
                 exp = ref_bytes[pos : pos + want]
                 assert got == exp[: len(got)] and len(got) == len(exp)
                 pos += len(got)
+
+
+class TestReadahead:
+    def test_sequential_read_uses_prefetched_windows(self, tmp_path):
+        """Sequential reads must consume the one-slot readahead (window
+        k+1 dispatched while k is served) and stay bit-exact."""
+        import alacnet_tpu
+        from alacnet_tpu.context import AlacContext
+
+        from .corpus import encode_to_bytes, tone
+
+        pcm = tone(4096 * 6 + 100, 2, 16, seed=9)
+        p = tmp_path / "ra.m4a"
+        p.write_bytes(encode_to_bytes(pcm, 44100, 16))
+        with open(p, "rb") as f:
+            ctx = AlacContext(f, window=2)
+            got = []
+            consumed_prefetch = False
+            while True:
+                fr = ctx.read_frame()
+                if fr.size == 0:
+                    break
+                got.append(fr)
+                if ctx._prefetch is not None:
+                    consumed_prefetch = True
+            ctx.close()
+        assert consumed_prefetch, "readahead never armed"
+        np.testing.assert_array_equal(np.concatenate(got), pcm)
+
+    def test_seek_discards_stale_prefetch(self, tmp_path):
+        from alacnet_tpu.context import AlacContext
+
+        from .corpus import encode_to_bytes, tone
+
+        pcm = tone(4096 * 6, 2, 16, seed=10)
+        p = tmp_path / "ra2.m4a"
+        p.write_bytes(encode_to_bytes(pcm, 44100, 16))
+        with open(p, "rb") as f:
+            ctx = AlacContext(f, window=2)
+            ctx.read_frame()  # window 0 decoded; window 2 prefetched
+            assert ctx._prefetch is not None and ctx._prefetch[0] == 2
+            # jump far: stale prefetch must not corrupt the result
+            fr = ctx._frame_samples(5)
+            np.testing.assert_array_equal(fr, pcm[5 * 4096 : 6 * 4096])
+            ctx.close()
