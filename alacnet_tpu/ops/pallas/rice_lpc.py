@@ -111,6 +111,9 @@ def pick_sub(B: int, W8: int) -> int:
 #: Narrowest lane tile allowed to keep whole-table residency before the
 #: planner switches to the streaming window (see plan_tiles).
 STREAM_MIN_SUB = 8
+#: Widest table (in 8-word groups) that streams at the sub=16 tile; the
+#: common 44.1/16 music band.  Wider tables stream at sub=8.
+SUB16_STREAM_MAX_W8 = 372
 
 
 def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
@@ -140,6 +143,27 @@ def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
         if not can_stream:
             raise
         sub = 0
+    if sub >= 16 or (sub >= STREAM_MIN_SUB and not can_stream):
+        return sub, 0
+    # Mid band (opt-in): the table fits whole at sub=8 but not sub=16 —
+    # stream at sub=16 instead.  A/B on v5e at 4096 lanes, music band
+    # (W8=288): 1871 -> 2727 Msps when the block's frame sizes are TIGHT
+    # (16 distinct sizes), but 1628 -> 1401 on a spread corpus (32
+    # distinct): the group-sweep fetch range grows with lanes/block, so
+    # the wider tile only profits when per-block bit-position spread
+    # stays small.  Workloads with near-uniform frame sizes (single
+    # album / constant-bitrate-ish content) can enable it via
+    # ALAC_STREAM16=1; the default stays whole-table sub=8.
+    g16 = WORDS_VMEM_BUDGET // (8 * 16 * LN * 4)
+    if (
+        os.environ.get("ALAC_STREAM16") == "1"
+        and sub == STREAM_MIN_SUB
+        and W8 <= SUB16_STREAM_MAX_W8
+        and B % (16 * LN) == 0
+        and num_samples % 2 == 0
+        and g16 < W8
+    ):
+        return 16, g16
     if sub >= STREAM_MIN_SUB or not can_stream:
         return sub, 0
     g = WORDS_VMEM_BUDGET // (8 * STREAM_MIN_SUB * LN * 4)

@@ -466,3 +466,54 @@ class TestStreamingWindow:
         )
         np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
         np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+def test_streaming_sub16_band_parity(rng, monkeypatch):
+    """The opt-in mid band (ALAC_STREAM16: table fits whole at sub=8
+    but not sub=16) streams at the sub=16 tile; parity vs the XLA
+    scan."""
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.ops.pallas.rice_lpc import plan_tiles
+
+    monkeypatch.setenv("ALAC_STREAM16", "1")
+    fused_rice_lpc._clear_cache()
+    S = 64
+    WIDE = 2048  # W8=256: in (186, 372] -> (16, 186)
+    B = 2048  # minimum for a sub=16 tile
+    assert plan_tiles(B, WIDE // 8, S) == (16, 186)
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    enc = AlacEncoder(params, EncoderConfig(order=4))
+    payloads = [
+        enc.encode_frame(rng.integers(-2000, 2000, (S, 2)).astype(np.int32))
+        for _ in range(8)
+    ]
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+
+    def pad(a):
+        out = np.zeros((B,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = np.zeros((B, WIDE), np.uint32)
+    words[:B0, : fb.words.shape[1]] = fb.words
+    words = jnp.asarray(words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    args = (
+        pad(fb.rss), pad(fb.kmod), pad(fb.init_history),
+        pad(fb.rice_mult[:, 0]), pad(fb.kmask),
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+    )
+    err, endp = rice_decode(words, start, n, RiceParams(*args[:5]), S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=args[5], quant=args[6], rc=args[7], rss=args[0]), S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n, *args, S, max_order=4,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+    fused_rice_lpc._clear_cache()  # env-dependent plan must not leak
