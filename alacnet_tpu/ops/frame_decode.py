@@ -286,15 +286,21 @@ def _decode_frames_impl(
 
         ub8 = m.ub * 8
         n_eb = jnp.where((m.ub > 0) & m.is_compressed, n, 0)
-        extra_a, extra_b = jax.lax.cond(
+        zeros_bs3 = lambda: (  # noqa: E731
+            jnp.zeros((B, S), I32), jnp.zeros((B, S), I32),
+            jnp.zeros((B,), jnp.bool_),
+        )
+        extra_a, extra_b, extra_stall = jax.lax.cond(
             any_extra,
             lambda: bulk_bits(
                 words, m.payload_pos, n_eb, ub8,
                 jnp.where(m.is_stereo, ub8, 0), S,
+                whole_table=whole_table,
             ),
-            zeros_bs,
+            zeros_bs3,
         )
     else:
+        extra_stall = jnp.zeros((B,), jnp.bool_)
         extra_a, extra_b = jax.lax.cond(
             any_extra, lambda: _extra_bits(words, m, S), zeros_bs
         )
@@ -321,7 +327,7 @@ def _decode_frames_impl(
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )
-        stalled = (pos_after_a < 0) | (end_b < 0)
+        stalled = (pos_after_a < 0) | (end_b < 0) | extra_stall
         n = jnp.where(stalled, jnp.full_like(n, -1), n)
     else:
         err_a, pos_after_a = rice_decode(
@@ -348,14 +354,20 @@ def _decode_frames_impl(
         n_raw = jnp.where(m.is_compressed, 0, n)
 
         def _raw_fused():
-            ra, rb = bulk_bits(
+            ra, rb, rst = bulk_bits(
                 words, m.payload_pos, n_raw, m.sample_size,
                 jnp.where(m.is_stereo, m.sample_size, 0), S,
+                whole_table=whole_table,
             )
-            return _extend_raw(ra, m), _extend_raw(rb, m)
+            return _extend_raw(ra, m), _extend_raw(rb, m), rst
 
-        raw_a, raw_b = jax.lax.cond(any_raw, _raw_fused, zeros_bs)
+        raw_a, raw_b, raw_stall = jax.lax.cond(
+            any_raw, _raw_fused,
+            lambda: (jnp.zeros((B, S), I32), jnp.zeros((B, S), I32),
+                     jnp.zeros((B,), jnp.bool_)),
+        )
     else:
+        raw_stall = jnp.zeros((B,), jnp.bool_)
         raw_a, raw_b = jax.lax.cond(
             any_raw, lambda: _raw_pcm(words, m, S), zeros_bs
         )
@@ -395,6 +407,8 @@ def _decode_frames_impl(
     eight = jnp.full_like(ub8, 8)
     left = jnp.where(is24, sra(shl(left, eight), eight), left)
     right = jnp.where(is24, sra(shl(right, eight), eight), right)
+
+    n = jnp.where(raw_stall, jnp.full_like(n, -1), n)
 
     # mono lanes: silent channel 1 (:536-540,563-565); mask the tail.
     live = jnp.arange(S, dtype=I32)[None, :] < n[:, None]

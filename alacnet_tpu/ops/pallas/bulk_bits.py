@@ -36,6 +36,7 @@ from .rice_lpc import (
     flush_dynamic_tail,
     make_fetch_words,
     pick_sub,
+    plan_tiles,
 )
 
 #: params rows
@@ -43,23 +44,41 @@ B_START, B_N, B_N1, B_N2 = range(4)
 OUT_TILE = 256
 
 
-def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
-            wvmem, ta, tb, sem_w, sem_o, *, W8, S, out_tile, sub):
+def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
+            wvmem, ta, tb, sem_w, sem_o, *, W8, S, out_tile, sub,
+            stream_G=0):
     nb = pl.program_id(0)
-    cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
-    cp.start()
+    if not stream_G:
+        cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
+        cp.start()
     start = params_ref[0, B_START]
     n = params_ref[0, B_N]
     n1 = params_ref[0, B_N1]
     n2 = params_ref[0, B_N2]
     stride = n1 + n2
-    cp.wait()
 
     fetch_words = make_fetch_words(wvmem, W8, sub)
-
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
-    R = fetch_words(wp0, live0, 8)
+
+    def load_window(base):
+        cpw = pltpu.make_async_copy(
+            words_hbm.at[nb, pl.ds(base, stream_G)], wvmem, sem_w
+        )
+        cpw.start()
+        cpw.wait()
+
+    def window_base(wp, live):
+        lo = jnp.min(jnp.where(live, wp >> 3, W8)).astype(I32)
+        return jnp.clip(lo, 0, max(W8 - stream_G, 0))
+
+    if stream_G:
+        base0 = window_base(wp0, live0)
+        load_window(base0)
+        R = fetch_words(wp0, live0, 8, base=base0)
+    else:
+        cp.wait()
+        R = fetch_words(wp0, live0, 8)
 
     def step(i, carry):
         """One (A, B) field pair; the reservoir refills per QUAD of
@@ -90,11 +109,11 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
         bitpos2 = jnp.where(active, bitpos + stride, bitpos)
         return (bitpos2, wp, *R8)
 
-    def advance(carry):
+    def advance(carry, base=None):
         bitpos, wp, *R8 = carry
         wp_new = bitpos >> 5
         shifts = wp_new - wp  # 0..6 after a quad
-        F = fetch_words(wp + 8, [shifts > k for k in range(6)], 6)
+        F = fetch_words(wp + 8, [shifts > k for k in range(6)], 6, base=base)
         R8 = list(R8)
         for kk in range(6):
             c = shifts > kk
@@ -108,7 +127,55 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
     dynamic_stop = S % out_tile == 0
     nmax = jnp.clip(jnp.max(n), 0, S) if dynamic_stop else S
     unroll = 4 if S % 4 == 0 else 1
-    if unroll > 1:
+    stalled = jnp.zeros((), jnp.bool_)
+    if stream_G:
+        # Sliding window over the word table (rice_lpc §4g, the affine
+        # twin): a quad consumes <= 6 words and its renormalization
+        # fetches words wp+8..wp+13, so worst need is wp+19.  Mixed
+        # strides make the cross-lane spread grow linearly, so a legal
+        # (if exotic) batch CAN outgrow the window — the stall flag +
+        # whole-table fallback covers it like the entropy kernel.
+        trips = (nmax + unroll - 1) // unroll
+
+        def stepq_b(j, c, base):
+            for u in range(unroll):
+                c = step(unroll * j + u, c)
+            return advance(c, base=base)
+
+        def fits(j, carry, base):
+            wp = carry[1]
+            live = (unroll * j) < n
+            hi = jnp.max(jnp.where(live, wp, 0)) + 20
+            return jnp.minimum(hi >> 3, W8 - 1) < base + stream_G
+
+        def outer_cond(st):
+            j, stall, _ = st
+            return (j < trips) & jnp.logical_not(stall)
+
+        def outer_body(st):
+            j0, _, carry = st
+            wp = carry[1]
+            live = (unroll * j0) < n
+            base = window_base(wp, live)
+            load_window(base)
+
+            def inner_body(t):
+                j, _, c = t
+                c = stepq_b(j, c, base)
+                j = j + 1
+                return (j, (j < trips) & fits(j, c, base), c)
+
+            j1, _, carry = jax.lax.while_loop(
+                lambda t: t[1], inner_body,
+                (j0, (j0 < trips) & fits(j0, carry, base), carry),
+            )
+            return (j1, j1 == j0, carry)
+
+        j_end, stalled, carry = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.zeros((), I32), stalled, carry)
+        )
+        processed = unroll * j_end
+    elif unroll > 1:
         def stepq(j, c):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
@@ -135,9 +202,12 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm,
             )
             c.start()
             c.wait()
+    state_ref[0, 0] = jnp.broadcast_to(stalled.astype(I32), (sub, LN))
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "interpret", "whole_table")
+)
 def bulk_bits(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
     start_bitpos,  # (B,) int32
@@ -146,10 +216,15 @@ def bulk_bits(
     n2,  # (B,) int32 second-field width, 0..24 (0 -> single field)
     num_samples: int,
     interpret: bool = False,
+    whole_table: bool = False,
 ):
     """Extract (A, B) field streams at a fixed per-lane stride.
 
-    Returns (a (B, S) int32, b (B, S) int32).
+    Returns (a (B, S) int32, b (B, S) int32, stalled (B,) bool).
+    ``stalled`` lanes belong to a streaming-window block whose lanes
+    spread wider than the window (mixed strides over a fat table —
+    rice_lpc.plan_tiles); their outputs are invalid and the caller
+    re-runs with ``whole_table=True``.
 
     CONTRACT: n1 + n2 <= 48 bits per step — the quad-fetch reservoir
     budget (31 + 3*48 + 32 + 32 = 239 < 256 bits; see step()).  Every
@@ -163,7 +238,13 @@ def bulk_bits(
     assert B % LANES == 0 and W % 8 == 0, (B, W)
     W8 = W // 8
     S = num_samples
-    sub = pick_sub(B, W8)
+    if whole_table:
+        sub, stream_G = pick_sub(B, W8), 0
+    else:
+        sub, stream_G = plan_tiles(B, W8, S)
+    if stream_G and (S % 4 or S % min(OUT_TILE, S)):
+        # streaming needs the quad-unrolled loop + tile-aligned S
+        sub, stream_G = pick_sub(B, W8), 0
     lanes = sub * LN
     NB = B // lanes
     wordsv = words.reshape(NB, sub, LN, W8, 8).transpose(0, 3, 4, 1, 2)
@@ -172,8 +253,10 @@ def bulk_bits(
     ).astype(I32)
     paramsv = params.reshape(NP, NB, sub, LN).transpose(1, 0, 2, 3)
     out_tile = min(OUT_TILE if sub <= 8 else 128, S)
-    kern = functools.partial(_kernel, W8=W8, S=S, out_tile=out_tile, sub=sub)
-    outa, outb = pl.pallas_call(
+    kern = functools.partial(
+        _kernel, W8=W8, S=S, out_tile=out_tile, sub=sub, stream_G=stream_G
+    )
+    outa, outb, state = pl.pallas_call(
         kern,
         grid=(NB,),
         in_specs=[
@@ -183,13 +266,15 @@ def bulk_bits(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, sub, LN), lambda b: (b, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, S, sub, LN), I32),
             jax.ShapeDtypeStruct((NB, S, sub, LN), I32),
+            jax.ShapeDtypeStruct((NB, 1, sub, LN), I32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W8, 8, sub, LN), U32),
+            pltpu.VMEM((stream_G or W8, 8, sub, LN), U32),
             pltpu.VMEM((out_tile, sub, LN), I32),
             pltpu.VMEM((out_tile, sub, LN), I32),
             pltpu.SemaphoreType.DMA,
@@ -200,4 +285,5 @@ def bulk_bits(
     )(paramsv, wordsv)
     a = outa.transpose(0, 2, 3, 1).reshape(B, S)
     b = outb.transpose(0, 2, 3, 1).reshape(B, S)
-    return a, b
+    stalled = state[:, 0].reshape(B) != 0
+    return a, b, stalled

@@ -115,10 +115,11 @@ def test_bulk_bits_matches_xla_gather(cfg, rng):
     else:
         n1 = np.full(B, 24, np.int32)
         n2 = np.where(rng.integers(0, 2, B) > 0, 24, 0).astype(np.int32)
-    a, b = bulk_bits(
+    a, b, stalled = bulk_bits(
         words, start, n, jnp.asarray(n1), jnp.asarray(n2), S,
         interpret=jax.default_backend() != "tpu",
     )
+    assert not np.asarray(stalled).any()
     stride = (n1 + n2).astype(np.int32)
     idx = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] * stride[:, None]
     live = np.arange(S)[None, :] < np.asarray(n)[:, None]
@@ -517,3 +518,61 @@ def test_streaming_sub16_band_parity(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
     fused_rice_lpc._clear_cache()  # env-dependent plan must not leak
+
+
+def test_bulk_bits_streaming_window(rng, monkeypatch):
+    """bulk_bits over a fat table streams the window (plan_tiles) and
+    stays equal to the XLA gather; adversarial stride spread stalls and
+    the whole-table fallback covers it."""
+    import alacnet_tpu.ops.pallas.rice_lpc as RL
+    from alacnet_tpu.ops.bitreader import gather_bits
+    from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits
+
+    B, S, W = LANES, 64, 3200  # W8=400 -> (8, 372) streaming
+    interp = jax.default_backend() != "tpu"
+    words = jnp.asarray(
+        rng.integers(0, 2**32, (B, W), dtype=np.uint64).astype(np.uint32)
+    )
+    start = jnp.asarray(rng.integers(0, 200, B).astype(np.int32))
+    n = jnp.asarray(rng.integers(0, S + 1, B).astype(np.int32))
+    n1 = np.full(B, 24, np.int32)
+    n2 = np.where(rng.integers(0, 2, B) > 0, 24, 0).astype(np.int32)
+    a, b, stalled = bulk_bits(
+        words, start, n, jnp.asarray(n1), jnp.asarray(n2), S, interpret=interp
+    )
+    assert not np.asarray(stalled).any()
+    stride = (n1 + n2).astype(np.int32)
+    idx = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] * stride[:, None]
+    live = np.arange(S)[None, :] < np.asarray(n)[:, None]
+    ref_a = np.where(live, np.asarray(gather_bits(words, idx, n1[:, None])), 0)
+    ref_b = np.where(
+        live & (n2 > 0)[:, None],
+        np.asarray(gather_bits(words, idx + n1[:, None], np.maximum(n2, 1)[:, None])),
+        0,
+    )
+    np.testing.assert_array_equal(np.asarray(a), ref_a.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(b), ref_b.astype(np.int32))
+
+    # Stall: tiny window + one lane starting thousands of words ahead.
+    with monkeypatch.context() as mctx:
+        mctx.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
+        bulk_bits._clear_cache()
+        try:
+            start2 = np.asarray(start).copy()
+            start2[1] = 32 * (W - 200)
+            _, _, st2 = bulk_bits(
+                words, jnp.asarray(start2), n, jnp.asarray(n1),
+                jnp.asarray(n2), S, interpret=interp,
+            )
+            assert np.asarray(st2).all()
+        finally:
+            bulk_bits._clear_cache()
+    # whole-table fallback on the same inputs
+    a3, b3, st3 = bulk_bits(
+        words, jnp.asarray(start2), n, jnp.asarray(n1), jnp.asarray(n2), S,
+        interpret=interp, whole_table=True,
+    )
+    assert not np.asarray(st3).any()
+    idx3 = np.asarray(start2)[:, None] + np.arange(S, dtype=np.int32)[None, :] * stride[:, None]
+    ref3 = np.where(live, np.asarray(gather_bits(words, jnp.asarray(idx3), n1[:, None])), 0)
+    np.testing.assert_array_equal(np.asarray(a3), ref3.astype(np.int32))
