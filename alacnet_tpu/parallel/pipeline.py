@@ -60,14 +60,19 @@ def pad_frame_batch(fb: FrameBatch, batch: int | None = None) -> FrameBatch:
 #: per-block word table costs W * 1024 lanes * 4 bytes and must leave
 #: room for output staging (ops/pallas/rice_lpc.WORDS_VMEM_BUDGET).
 FUSED_MIN_BATCH = 1024
-#: Widest fused-decodable frame: 11776 words = ~46 KB coded — beyond
-#: the worst legal ALAC frame (4096-sample stereo noise at 24-bit +
-#: extra-bits is ~33 KB, measured 470 Msps fused at the sub=2 lane tile
-#: vs ~23 Msps on the XLA fallback), so no real stream leaves the fused
-#: path.  pick_sub's sub=1 tile could stretch to ~94 KB but its Mosaic
-#: compile runs minutes — not worth gating production on; only
-#: corrupt-size frames land past this cap, on the XLA path.
+#: Widest frame of the NORMAL fused band: 11776 words = ~46 KB coded —
+#: beyond the worst legal 4096-sample ALAC frame (stereo 24-bit noise +
+#: extra-bits is ~33 KB).  Wider frames (legal with bigger
+#: max_samples_per_frame, e.g. 16384-sample 24-bit noise ~128 KB/4 =
+#: ...) still run fused via the streaming window (round 3): they batch
+#: into their own 1024-lane spans up to FUSED_MAX_WORDS_STREAM; only
+#: frames beyond THAT (or sub-kernel-block counts of fat frames, which
+#: pad-round below 1024 lanes) take the XLA fallback.
 FUSED_MAX_WORDS = 11776
+#: Widest streaming-fused frame: ~96 KB coded.  The VMEM window is
+#: size-independent; this caps the per-span words H2D (1024 lanes x
+#: 24576 words x 4 B = ~100 MB) and the per-shape compile investment.
+FUSED_MAX_WORDS_STREAM = 24576
 
 #: Static max_order values _fused_plan rounds up to (ordered).
 _ORDER_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 30)
@@ -92,7 +97,7 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
         fb.batch % max(1, n_shards) == 0
         and per_shard % FUSED_MIN_BATCH == 0
         and fb.words.shape[1] % 8 == 0
-        and fb.words.shape[1] <= FUSED_MAX_WORDS
+        and fb.words.shape[1] <= FUSED_MAX_WORDS_STREAM
     )
     if DEFAULT.kernel == "xla":
         use = False
@@ -218,7 +223,13 @@ def plan_blob_batches(
     )
     cap_w = (FUSED_MAX_WORDS // WORD_BUCKET) * WORD_BUCKET
     cap_bytes = (cap_w - WINDOW_PAD) * 4
-    elig = sizes <= cap_bytes
+    cap2_w = (FUSED_MAX_WORDS_STREAM // WORD_BUCKET) * WORD_BUCKET
+    cap2_bytes = (cap2_w - WINDOW_PAD) * 4
+    # Eligibility levels: 0 = normal fused band, 1 = streaming-fused
+    # big-frame band (own 1024-lane spans bound the words H2D), 2 = XLA.
+    elig = np.where(
+        sizes <= cap_bytes, 0, np.where(sizes <= cap2_bytes, 1, 2)
+    ).astype(np.int8)
     # Third key: bit depth — 16-bit frames cluster into their own spans
     # so a pooled mixed-format decode_files still ships int16 for the
     # 16-bit spans (emit16 halves their D2H; dispatch_frame_batch
@@ -232,10 +243,10 @@ def plan_blob_batches(
     # deepest lane's FIR/adaptive unroll (VERDICT r2 next #2b).
     is_wide = hdr.sample_size != 16
     okey = np.where(hdr.order == MAX_ORDER_SENTINEL, 0, hdr.order).max(axis=1)
-    perm = np.lexsort((okey, sizes, is_wide, ~elig))
+    perm = np.lexsort((okey, sizes, is_wide, elig))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
-    group = (~elig[perm]).astype(np.int8) * 2 + is_wide[perm].astype(np.int8)
+    group = elig[perm] * 2 + is_wide[perm].astype(np.int8)
     boundaries = sorted(
         {0, F} | set((np.flatnonzero(np.diff(group)) + 1).tolist())
     )
@@ -250,10 +261,14 @@ def plan_blob_batches(
     from ..config import DEFAULT
 
     ok_p = okey[perm]
+    el_p = elig[perm]
     spans = []
     for b_lo, b_hi in zip(boundaries[:-1], boundaries[1:]):
-        for lo in range(b_lo, b_hi, batch_limit):
-            hi = min(lo + batch_limit, b_hi)
+        # Big-frame band: one kernel block of lanes per span bounds the
+        # words H2D (frames there run up to ~96 KB each).
+        limit = min(batch_limit, FUSED_MIN_BATCH) if el_p[b_lo] == 1 else batch_limit
+        for lo in range(b_lo, b_hi, limit):
+            hi = min(lo + limit, b_hi)
             sub, cur = lo, None
             if DEFAULT.order_spans:
                 for blk in range(lo, hi, FUSED_MIN_BATCH):

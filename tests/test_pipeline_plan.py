@@ -193,3 +193,81 @@ class TestStallFallback:
         assert (n >= 0).all()
         for i, pcm in enumerate(pcms):
             np.testing.assert_array_equal(out[i, : n[i], :], pcm)
+
+
+class TestBigFrameBand:
+    def test_big_frames_get_streaming_fused_spans(self, monkeypatch):
+        """Frames between FUSED_MAX_WORDS and FUSED_MAX_WORDS_STREAM
+        batch into their own kernel-block-sized spans and stay
+        fused-eligible (streaming window); only frames beyond the
+        stream cap fall to the XLA band (round 3)."""
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        # eligibility independent of the CPU test backend
+        monkeypatch.setattr(cfg.DEFAULT, "kernel", "fused")
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        rng = np.random.default_rng(3)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        small = [
+            enc.encode_frame(rng.integers(-2000, 2000, (S, 2)).astype(np.int32))
+            for _ in range(4)
+        ]
+        big_len = (pl.FUSED_MAX_WORDS + 512) * 4  # in the streaming band
+        huge_len = (pl.FUSED_MAX_WORDS_STREAM + 512) * 4  # beyond it
+        big = [small[0] + b"\x00" * (big_len - len(small[0]))] * 3
+        huge = [small[1] + b"\x00" * (huge_len - len(small[1]))] * 2
+        payloads = small + big + huge
+        sizes = np.array([len(p) for p in payloads], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        blob = np.frombuffer(b"".join(payloads), np.uint8)
+        perm, inv, spans, span_batch = pl.plan_blob_batches(
+            blob, offsets, sizes, params, 4096, strict=True
+        )
+        # three bands -> three spans, ordered small, big, huge
+        assert len(spans) == 3
+        kinds = []
+        for lo, hi in spans:
+            fb = pl.pad_frame_batch(span_batch(perm[lo:hi]), 1024)
+            uf, _ = _fused_plan(fb)
+            w = fb.words.shape[1]
+            kinds.append((hi - lo, w <= pl.FUSED_MAX_WORDS,
+                          w <= pl.FUSED_MAX_WORDS_STREAM, uf))
+        assert kinds[0][0] == 4 and kinds[0][1]
+        assert kinds[1][0] == 3 and not kinds[1][1] and kinds[1][2]
+        assert kinds[1][3], "big-frame span must stay fused (streaming)"
+        assert kinds[2][0] == 2 and not kinds[2][2]
+        assert not kinds[2][3], "beyond the stream cap -> XLA band"
+
+    def test_big_frame_band_decodes_bit_exact(self, monkeypatch):
+        """End-to-end decode through decode_blob with frames in all
+        three bands: the streaming-band span runs the fused kernel
+        (interpret on CPU) over a word table wider than the old
+        whole-table cap and must still be bit-exact; the beyond-cap
+        span takes the XLA fallback.  Payload bytes past the coded
+        data are never read, so padding reaches the band cheaply."""
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        monkeypatch.setattr(cfg.DEFAULT, "kernel", "fused")
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        rng = np.random.default_rng(11)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        pcms = [
+            rng.integers(-2000, 2000, (S, 2)).astype(np.int32)
+            for _ in range(8)
+        ]
+        payloads = [enc.encode_frame(p) for p in pcms]
+        big_len = (pl.FUSED_MAX_WORDS + 512) * 4
+        huge_len = (pl.FUSED_MAX_WORDS_STREAM + 512) * 4
+        for i in (2, 3, 4):  # streaming band
+            payloads[i] += b"\x00" * (big_len - len(payloads[i]))
+        for i in (6,):  # beyond the stream cap -> XLA
+            payloads[i] += b"\x00" * (huge_len - len(payloads[i]))
+        sizes = np.array([len(p) for p in payloads], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        blob = np.frombuffer(b"".join(payloads), np.uint8)
+        out, n, status = pl.decode_blob(blob, offsets, sizes, params, S)
+        assert (n == S).all()
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, :S, :], pcm)
