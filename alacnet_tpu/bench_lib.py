@@ -201,7 +201,9 @@ def run_benchmark(
     payloads = [distinct[i % len(distinct)] for i in range(batch)]
 
     from .ops.frame_decode import decode_frames_packed
-    from .parallel.pipeline import _fused_plan, plan_blob_batches
+    from .parallel.pipeline import (
+        _fused_plan, plan_blob_batches, spread_sub_cap,
+    )
 
     sizes = np.array([len(p) for p in payloads], np.int64)
     offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
@@ -217,9 +219,11 @@ def run_benchmark(
     for lo, hi in spans:
         fb = pad_frame_batch(span_batch(perm[lo:hi]))
         use_fused, max_order = _fused_plan(fb)
-        spanned.append((fb, use_fused, max_order))
+        spanned.append(
+            (fb, use_fused, max_order, spread_sub_cap(sizes[perm[lo:hi]]))
+        )
     host_parse_s = time.perf_counter() - t0
-    fused_all = all(uf for _, uf, _ in spanned)
+    fused_all = all(uf for _, uf, *_ in spanned)
     import jax
 
     # Distinct input buffers per dispatch, rotated by a process-random
@@ -234,10 +238,10 @@ def run_benchmark(
     def make_variant(r):
         """Per-span (words, packed meta) with lanes rolled within the span."""
         staged = []
-        for fb, uf, mo in spanned:
+        for fb, uf, mo, cap in spanned:
             w = np.roll(fb.words, base + r, axis=0)
             mv = np.roll(FrameMetaArrays.pack_host(fb), base + r, axis=0)
-            staged.append((jnp.asarray(w), jnp.asarray(mv), uf, mo))
+            staged.append((jnp.asarray(w), jnp.asarray(mv), uf, mo, cap))
         return staged
 
     variants = [make_variant(r) for r in range(nvar)]
@@ -245,14 +249,14 @@ def run_benchmark(
     # block_until_ready is a no-op and transfers complete lazily.
     force = jnp.zeros((), jnp.uint32)
     for staged in variants:
-        for w, mv, _, _ in staged:
+        for w, mv, *_ in staged:
             force = force + jnp.sum(w)
     force.item()
 
     def dispatch_variant(staged, acc):
-        for w, mv, uf, mo in staged:
+        for w, mv, uf, mo, cap in staged:
             out, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo
+                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
             )
             acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
         return acc
@@ -292,7 +296,7 @@ def run_benchmark(
             variants.append(make_variant(r))
         force = jnp.zeros((), jnp.uint32)
         for staged in variants[warm + 1 :]:
-            for w, mv, _, _ in staged:
+            for w, mv, *_ in staged:
                 force = force + jnp.sum(w)
         force.item()
         idxs = list(range(2 * repeats)) + list(
@@ -307,8 +311,10 @@ def run_benchmark(
     best = per
     total_samples = 0
     parity_ok = True
-    for w, mv, uf, mo in variants[0]:
-        out, n = decode_frames_packed(w, mv, frame_samples, use_fused=uf, max_order=mo)
+    for w, mv, uf, mo, cap in variants[0]:
+        out, n = decode_frames_packed(
+            w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
+        )
         total_samples += int(jnp.sum(n).item())
         # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's
         # output must match the reference-semantics XLA scan path bit
@@ -428,7 +434,9 @@ def run_e2e_benchmark(
         """Pre-stage inputs exactly as the production pipeline batches
         them (plan_blob_batches: eligibility/order/size lane ordering,
         packed metadata matrix)."""
-        from .parallel.pipeline import _fused_plan, plan_blob_batches
+        from .parallel.pipeline import (
+            _fused_plan, plan_blob_batches, spread_sub_cap,
+        )
 
         perm, _, spans, span_batch = plan_blob_batches(
             blob, offsets, sizes, params, batch_limit, strict=True
@@ -440,7 +448,7 @@ def run_e2e_benchmark(
             staged.append(
                 (jnp.asarray(fb.words),
                  jnp.asarray(FrameMetaArrays.pack_host(fb)),
-                 use_fused, max_order)
+                 use_fused, max_order, spread_sub_cap(sizes[perm[lo:hi]]))
             )
         jax.block_until_ready([s[0] for s in staged])
         return staged
@@ -449,9 +457,9 @@ def run_e2e_benchmark(
         from .ops.frame_decode import decode_frames_packed
 
         acc = jnp.zeros((), jnp.int32)
-        for w, mv, uf, mo in staged:
+        for w, mv, uf, mo, cap in staged:
             _, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo
+                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
             )
             acc = _account(n, acc)
         acc.block_until_ready()
@@ -505,7 +513,7 @@ def run_e2e_benchmark(
         import threading
 
         from .parallel.pipeline import (
-            _fused_plan, pad_frame_batch, plan_blob_batches,
+            _fused_plan, pad_frame_batch, plan_blob_batches, spread_sub_cap,
         )
 
         q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
@@ -518,7 +526,8 @@ def run_e2e_benchmark(
                 fb = pad_frame_batch(span_batch(perm[lo:hi]))
                 uf, mo = _fused_plan(fb)
                 q.put(
-                    (fb.words, FrameMetaArrays.pack_host(fb), uf, mo)
+                    (fb.words, FrameMetaArrays.pack_host(fb), uf, mo,
+                     spread_sub_cap(sizes[perm[lo:hi]]))
                 )
             q.put(None)
 
@@ -534,11 +543,11 @@ def run_e2e_benchmark(
             item = q.get()
             if item is None:
                 break
-            w, mv, uf, mo = item
+            w, mv, uf, mo, cap = item
             h2d_bytes += w.nbytes + mv.nbytes
             _, nn = decode_frames_packed(
                 jnp.asarray(w), jnp.asarray(mv), frame_samples,
-                use_fused=uf, max_order=mo,
+                use_fused=uf, max_order=mo, sub_cap=cap,
             )
             acc = _account(nn, acc)
             n_dispatch += 1

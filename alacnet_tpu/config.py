@@ -61,6 +61,22 @@ class DecodeConfig:
     order_spans: bool = dataclasses.field(
         default_factory=lambda: _env_bool("ALAC_ORDER_SPANS", True)
     )
+    #: Per-block coded-size spread (in 8-word groups) beyond which a
+    #: span's lane tile narrows to (4, 128) — the fused kernel's fetch
+    #: sweep covers the tile's word-position range every pair, so
+    #: size-mixed blocks trade vreg width for a tighter sweep
+    #: (parallel/pipeline.spread_sub_cap).  0 disables.
+    spread_cap_groups: int = dataclasses.field(
+        default_factory=lambda: _env_int("ALAC_SPREAD_CAP", 16)
+    )
+    #: Sort lanes by order BUCKET before size (within each
+    #: eligibility/format group) so kernel blocks are order-homogeneous
+    #: and every dispatch's static max_order is tight even when orders
+    #: scatter across frame sizes; sizes stay sorted within each bucket,
+    #: preserving fetch-sweep locality (A/B knob).
+    order_primary: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("ALAC_ORDER_PRIMARY", False)
+    )
 
     def validate(self) -> "DecodeConfig":
         if self.kernel not in ("auto", "fused", "xla"):

@@ -188,7 +188,8 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_samples", "use_fused", "max_order", "emit16", "whole_table"
+        "num_samples", "use_fused", "max_order", "emit16", "whole_table",
+        "sub_cap",
     ),
 )
 def decode_frames_packed(
@@ -199,6 +200,7 @@ def decode_frames_packed(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
+    sub_cap: int = 0,
 ):
     """decode_frames with metadata as one packed (B, N_PACKED) matrix.
 
@@ -209,14 +211,15 @@ def decode_frames_packed(
     return _decode_frames_impl(
         words, FrameMetaArrays.unpack(packed_meta), num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table,
+        whole_table=whole_table, sub_cap=sub_cap,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_samples", "use_fused", "max_order", "emit16", "whole_table"
+        "num_samples", "use_fused", "max_order", "emit16", "whole_table",
+        "sub_cap",
     ),
 )
 def decode_frames(
@@ -227,6 +230,7 @@ def decode_frames(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
+    sub_cap: int = 0,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -252,7 +256,7 @@ def decode_frames(
     return _decode_frames_impl(
         words, meta, num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table,
+        whole_table=whole_table, sub_cap=sub_cap,
     )
 
 
@@ -264,6 +268,7 @@ def _decode_frames_impl(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
+    sub_cap: int = 0,
 ):
     S = num_samples
     B = words.shape[0]
@@ -312,6 +317,7 @@ def _decode_frames_impl(
             m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
             S, max_order=max_order, whole_table=whole_table,
+            sub_cap=sub_cap,
         )
         # Channel B only exists for stereo lanes; skip the whole pass when
         # the batch is mono (a frozen scan still costs a full S-step loop).
@@ -324,6 +330,7 @@ def _decode_frames_impl(
                 m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
                 m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
                 S, max_order=max_order, whole_table=whole_table,
+                sub_cap=sub_cap,
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )

@@ -116,7 +116,9 @@ STREAM_MIN_SUB = 8
 SUB16_STREAM_MAX_W8 = 372
 
 
-def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
+def plan_tiles(
+    B: int, W8: int, num_samples: int, sub_cap: int = 0
+) -> tuple[int, int]:
     """(sub, stream_G): lane-tile width and streaming window size.
 
     stream_G == 0 means the whole (W8, 8, sub, 128) word table is VMEM
@@ -143,8 +145,29 @@ def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
         if not can_stream:
             raise
         sub = 0
+    def _cap(sub: int, g: int) -> tuple[int, int]:
+        """Clamp the tile to ``sub_cap`` lanes (planner spread hint).
+
+        The fetch sweep's group range is a cross-lane reduce over the
+        whole (sub, 128) tile, so blocks whose lanes mix frame SIZES pay
+        the widest lane spread per pair; a narrower tile sees fewer
+        distinct sizes.  Measured on the mixed-orders corpus (sizes
+        4096/2048/1024 x orders 0/1/4/8/31, spread up to 138 groups at
+        sub=8): sub=4 496 -> 633 Msps; sub=2 loses (274 — per-lane fixed
+        cost quadruples).  The cap is only honored when the narrow table
+        still fits VMEM whole or can stream.
+        """
+        if not sub_cap or sub <= sub_cap or B % (sub_cap * LN):
+            return sub, g
+        if W8 * sub_cap * 4096 <= WORDS_VMEM_BUDGET:
+            return sub_cap, 0
+        gc = WORDS_VMEM_BUDGET // (8 * sub_cap * LN * 4)
+        if num_samples % 2 == 0 and gc >= 2:
+            return sub_cap, min(gc, W8 - 1)
+        return sub, g
+
     if sub >= 16 or (sub >= STREAM_MIN_SUB and not can_stream):
-        return sub, 0
+        return _cap(sub, 0)
     # Mid band (opt-in): the table fits whole at sub=8 but not sub=16 —
     # stream at sub=16 instead.  A/B on v5e at 4096 lanes, music band
     # (W8=288): 1871 -> 2727 Msps when the block's frame sizes are TIGHT
@@ -157,6 +180,7 @@ def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
     g16 = WORDS_VMEM_BUDGET // (8 * 16 * LN * 4)
     if (
         os.environ.get("ALAC_STREAM16") == "1"
+        and not sub_cap
         and sub == STREAM_MIN_SUB
         and W8 <= SUB16_STREAM_MAX_W8
         and B % (16 * LN) == 0
@@ -165,9 +189,9 @@ def plan_tiles(B: int, W8: int, num_samples: int) -> tuple[int, int]:
     ):
         return 16, g16
     if sub >= STREAM_MIN_SUB or not can_stream:
-        return sub, 0
+        return _cap(sub, 0)
     g = WORDS_VMEM_BUDGET // (8 * STREAM_MIN_SUB * LN * 4)
-    return STREAM_MIN_SUB, min(g, W8 - 1)
+    return _cap(STREAM_MIN_SUB, min(g, W8 - 1))
 
 
 def _sel8(b2, b1, b0, x):
@@ -714,7 +738,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_samples", "max_order", "interpret", "whole_table", "ablate"),
+    static_argnames=(
+        "num_samples", "max_order", "interpret", "whole_table", "ablate",
+        "sub_cap",
+    ),
 )
 def fused_rice_lpc(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
@@ -727,6 +754,7 @@ def fused_rice_lpc(
     interpret: bool = False,
     whole_table: bool = False,
     ablate: tuple = (),
+    sub_cap: int = 0,
 ):
     """Decode+reconstruct one channel for a lane batch.
 
@@ -752,9 +780,10 @@ def fused_rice_lpc(
     S = num_samples
 
     if whole_table:
+        # Stall-retry path: proven classic layout, spread cap dropped.
         sub, stream_G = pick_sub(B, W8), 0
     else:
-        sub, stream_G = plan_tiles(B, W8, S)
+        sub, stream_G = plan_tiles(B, W8, S, sub_cap)
     lanes = sub * LN
     NB = B // lanes
 

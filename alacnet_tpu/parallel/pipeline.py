@@ -115,8 +115,34 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
     return use, max_order
 
 
+def spread_sub_cap(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
+    """Lane-tile cap for a span from its per-block coded-size spread.
+
+    The fused kernel's fetch sweep covers the word-position range of the
+    whole (sub, 128) lane tile each pair; blocks mixing frame sizes pay
+    that spread ~every sample.  When any 1024-lane block's size spread
+    exceeds ``config.spread_cap_groups`` 8-word groups, cap the tile at
+    (4, 128): measured +28% on the mixed-orders corpus (496 -> 633
+    Msps); sub=2 loses (fixed per-lane cost dominates).  Uniform-size
+    corpora (music/noise/silence) never trigger.
+    """
+    from ..config import DEFAULT
+
+    t = DEFAULT.spread_cap_groups
+    if not t:
+        return 0
+    s = np.asarray(span_sizes)[: orig_b if orig_b else None]
+    worst = 0
+    for lo in range(0, len(s), FUSED_MIN_BATCH):
+        b = s[lo : lo + FUSED_MIN_BATCH]
+        if len(b):
+            worst = max(worst, int(b.max() - b.min()) // 32)
+    return 4 if worst >= t else 0
+
+
 def dispatch_frame_batch(
-    fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False
+    fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False,
+    sub_cap: int = 0,
 ):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
@@ -148,7 +174,7 @@ def dispatch_frame_batch(
         out, n = decode_frames_spmd(
             words, meta, mesh, max_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
-            whole_table=whole_table,
+            whole_table=whole_table, sub_cap=sub_cap,
         )
         return out, n, orig_b
     # Two H2D transfers per batch (words + one packed metadata matrix):
@@ -161,6 +187,7 @@ def dispatch_frame_batch(
         max_order=max_order,
         emit16=emit16,
         whole_table=whole_table,
+        sub_cap=sub_cap,
     )
     return out, n, orig_b
 
@@ -243,7 +270,24 @@ def plan_blob_batches(
     # deepest lane's FIR/adaptive unroll (VERDICT r2 next #2b).
     is_wide = hdr.sample_size != 16
     okey = np.where(hdr.order == MAX_ORDER_SENTINEL, 0, hdr.order).max(axis=1)
-    perm = np.lexsort((okey, sizes, is_wide, elig))
+    from ..config import DEFAULT
+
+    if DEFAULT.order_primary:
+        # Cluster by sample count, then order BUCKET, then size: kernel
+        # blocks become homogeneous in BOTH the dynamic trip count
+        # (nmax = block max n — mixing partial frames into a full-frame
+        # block burns frozen-lane steps) and the static max_order (a
+        # single deep lane otherwise taxes the whole block's FIR /
+        # adaptive walk).  Sizes stay sorted within each (n, bucket)
+        # group, preserving fetch-sweep locality inside every block.
+        # A raw order-primary sort (no n key) measured 2x WORSE than
+        # size-primary on the mixed-orders corpus: it scatters partial
+        # frames across full-length blocks.
+        buckets = np.asarray(_ORDER_BUCKETS)
+        obkt = buckets[np.searchsorted(buckets, okey)]
+        perm = np.lexsort((sizes, obkt, hdr.n_samples, is_wide, elig))
+    else:
+        perm = np.lexsort((okey, sizes, is_wide, elig))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(F)
     group = elig[perm] * 2 + is_wide[perm].astype(np.int8)
@@ -257,8 +301,6 @@ def plan_blob_batches(
     # and order-31 blocks skip the FIR/adaptive unroll entirely.
     def _bucket(o: int) -> int:
         return next(b for b in _ORDER_BUCKETS if b >= o)
-
-    from ..config import DEFAULT
 
     ok_p = okey[perm]
     el_p = elig[perm]
@@ -385,7 +427,9 @@ def decode_blob(
         idx = perm[lo:hi]
         with trace_span("alac.host.parse", "host_seconds"):
             fb = span_batch(idx)
-        out_d, n_d, orig_b = dispatch_frame_batch(fb, max_samples, mesh=mesh)
+        out_d, n_d, orig_b = dispatch_frame_batch(
+            fb, max_samples, mesh=mesh, sub_cap=spread_sub_cap(sizes[idx])
+        )
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),
              fb.status[: hi - lo], fb)

@@ -175,9 +175,11 @@ class TestStallFallback:
         real_dispatch = pl.dispatch_frame_batch
         calls = []
 
-        def fake_dispatch(fb, max_samples, mesh=None, whole_table=False):
+        def fake_dispatch(fb, max_samples, mesh=None, whole_table=False,
+                          sub_cap=0):
             out, n, orig_b = real_dispatch(
-                fb, max_samples, mesh=mesh, whole_table=whole_table
+                fb, max_samples, mesh=mesh, whole_table=whole_table,
+                sub_cap=sub_cap,
             )
             calls.append(whole_table)
             if not whole_table and len(calls) == 1:
@@ -191,6 +193,59 @@ class TestStallFallback:
         )
         assert True in calls, "whole-table retry never dispatched"
         assert (n >= 0).all()
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, : n[i], :], pcm)
+
+
+class TestOrderPrimaryPlan:
+    def test_order_primary_bit_exact_and_homogeneous(self, monkeypatch):
+        """ALAC_ORDER_PRIMARY clusters lanes by (n, order bucket, size);
+        decode stays bit-exact and blocks become order-homogeneous.
+        (Measured A/B: loses to size-primary on the mixed-orders corpus
+        — kept as an opt-in knob; see plan_blob_batches.)"""
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        monkeypatch.setattr(cfg.DEFAULT, "order_primary", True)
+        blob, offsets, sizes, params, pcms = _corpus()
+        out, n, status = pl.decode_blob(blob, offsets, sizes, params, S)
+        assert (n == S).all()
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, : n[i], :], pcm)
+
+
+class TestSpreadSubCap:
+    def test_plan_tiles_honors_cap(self):
+        from alacnet_tpu.ops.pallas.rice_lpc import (
+            STREAM_MIN_SUB, WORDS_VMEM_BUDGET, plan_tiles,
+        )
+
+        # Whole-table case: cap narrows the tile, table still resident.
+        assert plan_tiles(4096, 256, 4096) == (8, 0)
+        assert plan_tiles(4096, 256, 4096, sub_cap=4) == (4, 0)
+        # Fat case (streaming at sub=8): cap re-streams at sub=4 with a
+        # deeper window unless the narrow table fits whole.
+        w8_fat = WORDS_VMEM_BUDGET // (8 * 2 * 128 * 4) + 8
+        s8, g8 = plan_tiles(4096, w8_fat, 4096)
+        assert (s8, bool(g8)) == (STREAM_MIN_SUB, True)
+        s4, g4 = plan_tiles(4096, w8_fat, 4096, sub_cap=4)
+        assert s4 == 4 and (g4 == 0 or g4 > g8)
+        # Cap wider than the chosen tile is a no-op.
+        assert plan_tiles(4096, 256, 4096, sub_cap=16) == (8, 0)
+
+    def test_spread_cap_decode_bit_exact(self, monkeypatch):
+        """Force the spread cap on (threshold 1 group) so the fused
+        interpreter decodes through (4, 128) tiles — must stay
+        bit-exact through decode_blob."""
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        monkeypatch.setattr(cfg.DEFAULT, "kernel", "fused")
+        monkeypatch.setattr(cfg.DEFAULT, "spread_cap_groups", 1)
+        blob, offsets, sizes, params, pcms = _corpus()
+        assert pl.spread_sub_cap(sizes) == 4
+        out, n, status = pl.decode_blob(blob, offsets, sizes, params, S)
+        assert (n == S).all()
         for i, pcm in enumerate(pcms):
             np.testing.assert_array_equal(out[i, : n[i], :], pcm)
 
