@@ -202,7 +202,7 @@ def run_benchmark(
 
     from .ops.frame_decode import decode_frames_packed
     from .parallel.pipeline import (
-        _fused_plan, plan_blob_batches, spread_sub_cap,
+        _fused_plan, plan_blob_batches, span_sub_hint,
     )
 
     sizes = np.array([len(p) for p in payloads], np.int64)
@@ -220,7 +220,7 @@ def run_benchmark(
         fb = pad_frame_batch(span_batch(perm[lo:hi]))
         use_fused, max_order = _fused_plan(fb)
         spanned.append(
-            (fb, use_fused, max_order, spread_sub_cap(sizes[perm[lo:hi]]))
+            (fb, use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]))
         )
     host_parse_s = time.perf_counter() - t0
     fused_all = all(uf for _, uf, *_ in spanned)
@@ -256,7 +256,7 @@ def run_benchmark(
     def dispatch_variant(staged, acc):
         for w, mv, uf, mo, cap in staged:
             out, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
+                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
             )
             acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
         return acc
@@ -313,7 +313,7 @@ def run_benchmark(
     parity_ok = True
     for w, mv, uf, mo, cap in variants[0]:
         out, n = decode_frames_packed(
-            w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
+            w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
         )
         total_samples += int(jnp.sum(n).item())
         # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's
@@ -435,7 +435,7 @@ def run_e2e_benchmark(
         them (plan_blob_batches: eligibility/order/size lane ordering,
         packed metadata matrix)."""
         from .parallel.pipeline import (
-            _fused_plan, plan_blob_batches, spread_sub_cap,
+            _fused_plan, plan_blob_batches, span_sub_hint,
         )
 
         perm, _, spans, span_batch = plan_blob_batches(
@@ -448,7 +448,7 @@ def run_e2e_benchmark(
             staged.append(
                 (jnp.asarray(fb.words),
                  jnp.asarray(FrameMetaArrays.pack_host(fb)),
-                 use_fused, max_order, spread_sub_cap(sizes[perm[lo:hi]]))
+                 use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]))
             )
         jax.block_until_ready([s[0] for s in staged])
         return staged
@@ -459,7 +459,7 @@ def run_e2e_benchmark(
         acc = jnp.zeros((), jnp.int32)
         for w, mv, uf, mo, cap in staged:
             _, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_cap=cap
+                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
             )
             acc = _account(n, acc)
         acc.block_until_ready()
@@ -513,7 +513,7 @@ def run_e2e_benchmark(
         import threading
 
         from .parallel.pipeline import (
-            _fused_plan, pad_frame_batch, plan_blob_batches, spread_sub_cap,
+            _fused_plan, pad_frame_batch, plan_blob_batches, span_sub_hint,
         )
 
         q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
@@ -527,7 +527,7 @@ def run_e2e_benchmark(
                 uf, mo = _fused_plan(fb)
                 q.put(
                     (fb.words, FrameMetaArrays.pack_host(fb), uf, mo,
-                     spread_sub_cap(sizes[perm[lo:hi]]))
+                     span_sub_hint(sizes[perm[lo:hi]]))
                 )
             q.put(None)
 
@@ -547,7 +547,7 @@ def run_e2e_benchmark(
             h2d_bytes += w.nbytes + mv.nbytes
             _, nn = decode_frames_packed(
                 jnp.asarray(w), jnp.asarray(mv), frame_samples,
-                use_fused=uf, max_order=mo, sub_cap=cap,
+                use_fused=uf, max_order=mo, sub_hint=cap,
             )
             acc = _account(nn, acc)
             n_dispatch += 1

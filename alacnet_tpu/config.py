@@ -65,9 +65,21 @@ class DecodeConfig:
     #: span's lane tile narrows to (4, 128) — the fused kernel's fetch
     #: sweep covers the tile's word-position range every pair, so
     #: size-mixed blocks trade vreg width for a tighter sweep
-    #: (parallel/pipeline.spread_sub_cap).  0 disables.
+    #: (parallel/pipeline.span_sub_hint).  0 disables.
     spread_cap_groups: int = dataclasses.field(
         default_factory=lambda: _env_int("ALAC_SPREAD_CAP", 16)
+    )
+    #: Per-block coded-size spread (8-word groups, over 2048-lane
+    #: windows) at or below which a span is "tight" and plans the
+    #: (16, 128) streaming tile (parallel/pipeline.span_sub_hint) —
+    #: the auto-gated form of ALAC_STREAM16.  Default 0 = off: the
+    #: single-channel kernel pass wins 46% on tight blocks, but the
+    #: full two-pass device stage measured a 12% LOSS on the music
+    #: corpus (1625 -> 1435 Msps, repeated twice interleaved) — channel
+    #: B re-streams the window from A's scattered end positions, wiping
+    #: the wide-tile gain.  Opt-in for single-channel-dominated loads.
+    tight_groups: int = dataclasses.field(
+        default_factory=lambda: _env_int("ALAC_TIGHT_SPREAD", 0)
     )
     #: Sort lanes by order BUCKET before size (within each
     #: eligibility/format group) so kernel blocks are order-homogeneous

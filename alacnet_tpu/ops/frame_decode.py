@@ -189,7 +189,7 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_cap",
+        "sub_hint",
     ),
 )
 def decode_frames_packed(
@@ -200,7 +200,7 @@ def decode_frames_packed(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     """decode_frames with metadata as one packed (B, N_PACKED) matrix.
 
@@ -211,7 +211,7 @@ def decode_frames_packed(
     return _decode_frames_impl(
         words, FrameMetaArrays.unpack(packed_meta), num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table, sub_cap=sub_cap,
+        whole_table=whole_table, sub_hint=sub_hint,
     )
 
 
@@ -219,7 +219,7 @@ def decode_frames_packed(
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_cap",
+        "sub_hint",
     ),
 )
 def decode_frames(
@@ -230,7 +230,7 @@ def decode_frames(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -256,7 +256,7 @@ def decode_frames(
     return _decode_frames_impl(
         words, meta, num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table, sub_cap=sub_cap,
+        whole_table=whole_table, sub_hint=sub_hint,
     )
 
 
@@ -268,7 +268,7 @@ def _decode_frames_impl(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     S = num_samples
     B = words.shape[0]
@@ -300,7 +300,7 @@ def _decode_frames_impl(
             lambda: bulk_bits(
                 words, m.payload_pos, n_eb, ub8,
                 jnp.where(m.is_stereo, ub8, 0), S,
-                whole_table=whole_table,
+                whole_table=whole_table, sub_hint=sub_hint,
             ),
             zeros_bs3,
         )
@@ -317,7 +317,7 @@ def _decode_frames_impl(
             m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
             S, max_order=max_order, whole_table=whole_table,
-            sub_cap=sub_cap,
+            sub_hint=sub_hint,
         )
         # Channel B only exists for stereo lanes; skip the whole pass when
         # the batch is mono (a frozen scan still costs a full S-step loop).
@@ -330,7 +330,7 @@ def _decode_frames_impl(
                 m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
                 m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
                 S, max_order=max_order, whole_table=whole_table,
-                sub_cap=sub_cap,
+                sub_hint=sub_hint,
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )
@@ -364,7 +364,7 @@ def _decode_frames_impl(
             ra, rb, rst = bulk_bits(
                 words, m.payload_pos, n_raw, m.sample_size,
                 jnp.where(m.is_stereo, m.sample_size, 0), S,
-                whole_table=whole_table,
+                whole_table=whole_table, sub_hint=sub_hint,
             )
             return _extend_raw(ra, m), _extend_raw(rb, m), rst
 

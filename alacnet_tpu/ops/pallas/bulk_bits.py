@@ -206,7 +206,8 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "interpret", "whole_table")
+    jax.jit,
+    static_argnames=("num_samples", "interpret", "whole_table", "sub_hint"),
 )
 def bulk_bits(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
@@ -217,6 +218,7 @@ def bulk_bits(
     num_samples: int,
     interpret: bool = False,
     whole_table: bool = False,
+    sub_hint: int = 0,
 ):
     """Extract (A, B) field streams at a fixed per-lane stride.
 
@@ -241,7 +243,7 @@ def bulk_bits(
     if whole_table:
         sub, stream_G = pick_sub(B, W8), 0
     else:
-        sub, stream_G = plan_tiles(B, W8, S)
+        sub, stream_G = plan_tiles(B, W8, S, sub_hint)
     if stream_G and (S % 4 or S % min(OUT_TILE, S)):
         # streaming needs the quad-unrolled loop + tile-aligned S
         sub, stream_G = pick_sub(B, W8), 0

@@ -117,7 +117,7 @@ SUB16_STREAM_MAX_W8 = 372
 
 
 def plan_tiles(
-    B: int, W8: int, num_samples: int, sub_cap: int = 0
+    B: int, W8: int, num_samples: int, sub_hint: int = 0
 ) -> tuple[int, int]:
     """(sub, stream_G): lane-tile width and streaming window size.
 
@@ -146,7 +146,7 @@ def plan_tiles(
             raise
         sub = 0
     def _cap(sub: int, g: int) -> tuple[int, int]:
-        """Clamp the tile to ``sub_cap`` lanes (planner spread hint).
+        """Clamp the tile to ``sub_hint`` lanes (planner spread hint).
 
         The fetch sweep's group range is a cross-lane reduce over the
         whole (sub, 128) tile, so blocks whose lanes mix frame SIZES pay
@@ -155,32 +155,36 @@ def plan_tiles(
         4096/2048/1024 x orders 0/1/4/8/31, spread up to 138 groups at
         sub=8): sub=4 496 -> 633 Msps; sub=2 loses (274 — per-lane fixed
         cost quadruples).  The cap is only honored when the narrow table
-        still fits VMEM whole or can stream.
+        still fits VMEM whole or can stream.  Hints >= 8 are not caps
+        (16 enables the wide streaming band below; it must never shrink
+        an already-wider whole-table plan).
         """
-        if not sub_cap or sub <= sub_cap or B % (sub_cap * LN):
+        if (
+            not sub_hint or sub_hint >= STREAM_MIN_SUB
+            or sub <= sub_hint or B % (sub_hint * LN)
+        ):
             return sub, g
-        if W8 * sub_cap * 4096 <= WORDS_VMEM_BUDGET:
-            return sub_cap, 0
-        gc = WORDS_VMEM_BUDGET // (8 * sub_cap * LN * 4)
+        if W8 * sub_hint * 4096 <= WORDS_VMEM_BUDGET:
+            return sub_hint, 0
+        gc = WORDS_VMEM_BUDGET // (8 * sub_hint * LN * 4)
         if num_samples % 2 == 0 and gc >= 2:
-            return sub_cap, min(gc, W8 - 1)
+            return sub_hint, min(gc, W8 - 1)
         return sub, g
 
     if sub >= 16 or (sub >= STREAM_MIN_SUB and not can_stream):
         return _cap(sub, 0)
-    # Mid band (opt-in): the table fits whole at sub=8 but not sub=16 —
-    # stream at sub=16 instead.  A/B on v5e at 4096 lanes, music band
-    # (W8=288): 1871 -> 2727 Msps when the block's frame sizes are TIGHT
-    # (16 distinct sizes), but 1628 -> 1401 on a spread corpus (32
+    # Mid band: the table fits whole at sub=8 but not sub=16 — stream at
+    # sub=16 instead.  A/B on v5e at 4096 lanes, music band (W8=288):
+    # 1871 -> 2727 Msps when the block's frame sizes are TIGHT (16
+    # distinct sizes), but 1628 -> 1401 on a spread corpus (32
     # distinct): the group-sweep fetch range grows with lanes/block, so
     # the wider tile only profits when per-block bit-position spread
-    # stays small.  Workloads with near-uniform frame sizes (single
-    # album / constant-bitrate-ish content) can enable it via
-    # ALAC_STREAM16=1; the default stays whole-table sub=8.
+    # stays small.  The planner measures that spread per span and passes
+    # sub_hint=16 for tight blocks (pipeline.span_sub_hint, gated by
+    # config.tight_groups); ALAC_STREAM16=1 forces the band everywhere.
     g16 = WORDS_VMEM_BUDGET // (8 * 16 * LN * 4)
     if (
-        os.environ.get("ALAC_STREAM16") == "1"
-        and not sub_cap
+        (sub_hint == 16 or os.environ.get("ALAC_STREAM16") == "1")
         and sub == STREAM_MIN_SUB
         and W8 <= SUB16_STREAM_MAX_W8
         and B % (16 * LN) == 0
@@ -740,7 +744,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     jax.jit,
     static_argnames=(
         "num_samples", "max_order", "interpret", "whole_table", "ablate",
-        "sub_cap",
+        "sub_hint",
     ),
 )
 def fused_rice_lpc(
@@ -754,7 +758,7 @@ def fused_rice_lpc(
     interpret: bool = False,
     whole_table: bool = False,
     ablate: tuple = (),
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     """Decode+reconstruct one channel for a lane batch.
 
@@ -783,7 +787,7 @@ def fused_rice_lpc(
         # Stall-retry path: proven classic layout, spread cap dropped.
         sub, stream_G = pick_sub(B, W8), 0
     else:
-        sub, stream_G = plan_tiles(B, W8, S, sub_cap)
+        sub, stream_G = plan_tiles(B, W8, S, sub_hint)
     lanes = sub * LN
     NB = B // lanes
 

@@ -71,7 +71,7 @@ def decode_frames_spmd(
     max_order: int = 31,
     emit16: bool = False,
     whole_table: bool = False,
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     """decode_frames over mesh-sharded inputs via shard_map.
 
@@ -89,7 +89,7 @@ def decode_frames_spmd(
         return decode_frames(
             w, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
-            whole_table=whole_table, sub_cap=sub_cap,
+            whole_table=whole_table, sub_hint=sub_hint,
         )
 
     # check_vma=False: decode_frames' lax.cond fast-skips pair a varying

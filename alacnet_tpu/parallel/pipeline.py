@@ -115,34 +115,58 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
     return use, max_order
 
 
-def spread_sub_cap(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
-    """Lane-tile cap for a span from its per-block coded-size spread.
+def _block_spreads(s: np.ndarray, lanes: int) -> list[int]:
+    """Per-block coded-size spread (8-word groups) over ``lanes``-lane blocks."""
+    return [
+        int(s[lo : lo + lanes].max() - s[lo : lo + lanes].min()) // 32
+        for lo in range(0, len(s), lanes)
+    ]
+
+
+def span_sub_hint(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
+    """Lane-tile hint for a span from its per-block coded-size spread.
 
     The fused kernel's fetch sweep covers the word-position range of the
-    whole (sub, 128) lane tile each pair; blocks mixing frame sizes pay
-    that spread ~every sample.  When any 1024-lane block's size spread
-    exceeds ``config.spread_cap_groups`` 8-word groups, cap the tile at
-    (4, 128): measured +28% on the mixed-orders corpus (496 -> 633
-    Msps); sub=2 loses (fixed per-lane cost dominates).  Uniform-size
-    corpora (music/noise/silence) never trigger.
+    whole (sub, 128) lane tile each pair, so the tile width that wins
+    depends on how much the block's frame SIZES spread:
+
+    - MEDIAN block spread >= ``config.spread_cap_groups`` (1024-lane
+      blocks) -> hint 4: narrow the tile to (4, 128).  Measured +28% on
+      the UNSORTED mixed-orders corpus (496 -> 633 Msps single-channel;
+      sub=2 loses — fixed per-lane cost quadruples).  Median, not
+      worst: the production planner size-sorts lanes, so a span over
+      several size clusters has uniform blocks except at cluster
+      boundaries — narrowing every block for one boundary block
+      measured 27% WORSE end-to-end on the orders corpus (907 -> 665
+      Msps device-stage).  Sorted spans therefore almost never cap;
+      the hint matters for intrinsically mixed blocks (unsorted
+      callers, or a smooth size continuum that sorting can't cluster).
+    - WORST block spread <= ``config.tight_groups`` (2048-lane windows
+      — the sub=16 block size) -> hint 16: stream the word table
+      through a (16, 128) tile (the ALAC_STREAM16 band, auto-gated).
+      OFF by default: the single-CHANNEL kernel pass wins 46% on tight
+      blocks (1871 -> 2727 Msps), but the production two-pass stage
+      (channel B re-streams from A's scattered end positions) measured
+      12% WORSE on the music corpus — see config.tight_groups.
+    - otherwise hint 0: the planner's default (whole-table sub=8).
     """
     from ..config import DEFAULT
 
-    t = DEFAULT.spread_cap_groups
-    if not t:
-        return 0
     s = np.asarray(span_sizes)[: orig_b if orig_b else None]
-    worst = 0
-    for lo in range(0, len(s), FUSED_MIN_BATCH):
-        b = s[lo : lo + FUSED_MIN_BATCH]
-        if len(b):
-            worst = max(worst, int(b.max() - b.min()) // 32)
-    return 4 if worst >= t else 0
+    if not len(s):
+        return 0
+    t = DEFAULT.spread_cap_groups
+    if t and np.median(_block_spreads(s, FUSED_MIN_BATCH)) >= t:
+        return 4
+    tight = DEFAULT.tight_groups
+    if tight and max(_block_spreads(s, 2 * FUSED_MIN_BATCH)) <= tight:
+        return 16
+    return 0
 
 
 def dispatch_frame_batch(
     fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False,
-    sub_cap: int = 0,
+    sub_hint: int = 0,
 ):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
@@ -174,7 +198,7 @@ def dispatch_frame_batch(
         out, n = decode_frames_spmd(
             words, meta, mesh, max_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
-            whole_table=whole_table, sub_cap=sub_cap,
+            whole_table=whole_table, sub_hint=sub_hint,
         )
         return out, n, orig_b
     # Two H2D transfers per batch (words + one packed metadata matrix):
@@ -187,7 +211,7 @@ def dispatch_frame_batch(
         max_order=max_order,
         emit16=emit16,
         whole_table=whole_table,
-        sub_cap=sub_cap,
+        sub_hint=sub_hint,
     )
     return out, n, orig_b
 
@@ -428,7 +452,7 @@ def decode_blob(
         with trace_span("alac.host.parse", "host_seconds"):
             fb = span_batch(idx)
         out_d, n_d, orig_b = dispatch_frame_batch(
-            fb, max_samples, mesh=mesh, sub_cap=spread_sub_cap(sizes[idx])
+            fb, max_samples, mesh=mesh, sub_hint=span_sub_hint(sizes[idx])
         )
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),

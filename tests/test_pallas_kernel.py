@@ -469,19 +469,26 @@ class TestStreamingWindow:
         np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
 
 
-def test_streaming_sub16_band_parity(rng, monkeypatch):
-    """The opt-in mid band (ALAC_STREAM16: table fits whole at sub=8
-    but not sub=16) streams at the sub=16 tile; parity vs the XLA
-    scan."""
+@pytest.mark.parametrize("via", ["env", "hint"])
+def test_streaming_sub16_band_parity(rng, monkeypatch, via):
+    """The mid band (table fits whole at sub=8 but not sub=16) streams
+    at the sub=16 tile; parity vs the XLA scan.  Reached two ways:
+    ALAC_STREAM16=1 forces it globally; the planner's per-span
+    tight-spread hint (pipeline.span_sub_hint) enables it per dispatch.
+    """
     from alacnet_tpu.codec.cookie import default_cookie
     from alacnet_tpu.ops.pallas.rice_lpc import plan_tiles
 
-    monkeypatch.setenv("ALAC_STREAM16", "1")
+    hint = 0
+    if via == "env":
+        monkeypatch.setenv("ALAC_STREAM16", "1")
+    else:
+        hint = 16
     fused_rice_lpc._clear_cache()
     S = 64
     WIDE = 2048  # W8=256: in (186, 372] -> (16, 186)
     B = 2048  # minimum for a sub=16 tile
-    assert plan_tiles(B, WIDE // 8, S) == (16, 186)
+    assert plan_tiles(B, WIDE // 8, S, sub_hint=hint) == (16, 186)
     params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
     enc = AlacEncoder(params, EncoderConfig(order=4))
     payloads = [
@@ -513,7 +520,7 @@ def test_streaming_sub16_band_parity(rng, monkeypatch):
     )
     out, end = fused_rice_lpc(
         words, start, n, *args, S, max_order=4,
-        interpret=jax.default_backend() != "tpu",
+        interpret=jax.default_backend() != "tpu", sub_hint=hint,
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])

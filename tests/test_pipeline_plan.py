@@ -176,10 +176,10 @@ class TestStallFallback:
         calls = []
 
         def fake_dispatch(fb, max_samples, mesh=None, whole_table=False,
-                          sub_cap=0):
+                          sub_hint=0):
             out, n, orig_b = real_dispatch(
                 fb, max_samples, mesh=mesh, whole_table=whole_table,
-                sub_cap=sub_cap,
+                sub_hint=sub_hint,
             )
             calls.append(whole_table)
             if not whole_table and len(calls) == 1:
@@ -222,16 +222,24 @@ class TestSpreadSubCap:
 
         # Whole-table case: cap narrows the tile, table still resident.
         assert plan_tiles(4096, 256, 4096) == (8, 0)
-        assert plan_tiles(4096, 256, 4096, sub_cap=4) == (4, 0)
+        assert plan_tiles(4096, 256, 4096, sub_hint=4) == (4, 0)
         # Fat case (streaming at sub=8): cap re-streams at sub=4 with a
         # deeper window unless the narrow table fits whole.
         w8_fat = WORDS_VMEM_BUDGET // (8 * 2 * 128 * 4) + 8
         s8, g8 = plan_tiles(4096, w8_fat, 4096)
         assert (s8, bool(g8)) == (STREAM_MIN_SUB, True)
-        s4, g4 = plan_tiles(4096, w8_fat, 4096, sub_cap=4)
+        s4, g4 = plan_tiles(4096, w8_fat, 4096, sub_hint=4)
         assert s4 == 4 and (g4 == 0 or g4 > g8)
-        # Cap wider than the chosen tile is a no-op.
-        assert plan_tiles(4096, 256, 4096, sub_cap=16) == (8, 0)
+        # Hint 16 (tight span): the mid band streams at the (16, 128)
+        # tile — same plan the ALAC_STREAM16 env opt-in produces.
+        s16, g16 = plan_tiles(4096, 256, 4096, sub_hint=16)
+        assert s16 == 16 and 0 < g16 < 256
+        # ...but never narrows an already-wider whole-table plan
+        # (sub=16/32 fits whole for small tables) and needs B % 2048.
+        assert plan_tiles(4096, 16, 4096, sub_hint=16) == (32, 0)
+        assert plan_tiles(1024, 256, 4096, sub_hint=16) == (8, 0)
+        # Hint 16 on the fat band is a no-op (only hints < 8 are caps).
+        assert plan_tiles(4096, w8_fat, 4096, sub_hint=16) == (s8, g8)
 
     def test_spread_cap_decode_bit_exact(self, monkeypatch):
         """Force the spread cap on (threshold 1 group) so the fused
@@ -243,7 +251,7 @@ class TestSpreadSubCap:
         monkeypatch.setattr(cfg.DEFAULT, "kernel", "fused")
         monkeypatch.setattr(cfg.DEFAULT, "spread_cap_groups", 1)
         blob, offsets, sizes, params, pcms = _corpus()
-        assert pl.spread_sub_cap(sizes) == 4
+        assert pl.span_sub_hint(sizes) == 4
         out, n, status = pl.decode_blob(blob, offsets, sizes, params, S)
         assert (n == S).all()
         for i, pcm in enumerate(pcms):
