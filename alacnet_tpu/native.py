@@ -49,7 +49,15 @@ def _build() -> pathlib.Path | None:
         return out
     _CACHE.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(f".{os.getpid()}.tmp.so")
-    for flags in (["-fopenmp"], []):  # openmp if available
+    # -march=native: build-on-first-use targets the running host, so
+    # the full local ISA is safe (FMA/AVX roughly halves the autocorr
+    # and pack loops); fall back for compilers/targets without it.
+    # Integer results are ISA-independent (-fwrapv semantics) and the
+    # one FP routine fixes its summation order manually.
+    for flags in (
+        ["-march=native", "-fopenmp"], ["-fopenmp"],
+        ["-march=native"], [],
+    ):
         cmd = [
             "g++", *_BASE_FLAGS, *flags,
             str(_SRC), "-o", str(tmp),
@@ -82,7 +90,7 @@ def get_lib() -> ctypes.CDLL | None:
                 return None
             lib = ctypes.CDLL(str(path))
             lib.alac_native_abi_version.restype = ctypes.c_int32
-            if lib.alac_native_abi_version() != 2:
+            if lib.alac_native_abi_version() != 3:
                 return None
             lib.alac_pack_frames.argtypes = [
                 _U8P, ctypes.c_int64, _I64P, _I64P,
@@ -126,6 +134,11 @@ def get_lib() -> ctypes.CDLL | None:
                 _U8P, ctypes.c_int64, _I64P,
             ]
             lib.alac_pack_chunk_frames.restype = None
+            lib.alac_autocorr.argtypes = [
+                _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ]
+            lib.alac_autocorr.restype = None
             _lib = lib
         except OSError:
             _lib = None
@@ -330,3 +343,23 @@ def pack_chunk_frames_native(
         end_bits,
     )
     return out, end_bits
+
+
+def autocorr_native(x, order: int):
+    """(order+1, B) float64 lag autocorrelation of (B, S) int32 lanes,
+    or None when the native tier is unavailable.
+
+    Single pass per lane over an L1-resident double buffer vs the
+    NumPy fallback's order+1 full-batch einsum sweeps
+    (codec/encoder.levinson_coefs_batch); summation order differs, which
+    only perturbs coefficient rounding — both sides of the host/device
+    byte-identity contract choose coefficients through the same path.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.int32)
+    B, S = x.shape
+    r = np.empty((order + 1, B), np.float64)
+    lib.alac_autocorr(x, np.int64(B), np.int64(S), np.int32(order), r)
+    return r

@@ -332,3 +332,59 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     c0, c1, c2, ws = merge_symbol_chunks(v16, v32, widths)
     bits = jnp.sum(ws.astype(I32), axis=1)
     return c0, c1, c2, ws, bits, bad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "max_order", "lw", "sh", "ub8", "wide"),
+)
+def encode_stages_pcm(
+    pcm, stereo, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
+    max_order: int = MAX_ORDER, lw: int = 0, sh: int = 0, ub8: int = 0,
+    wide: bool = False,
+):
+    """:func:`encode_stages` fed raw interleaved PCM.
+
+    ``pcm``: (F, S, 2) int32 (channel 1 zeroed for mono lanes);
+    ``stereo``: (F,) bool.  The extra-bits strip (``>> ub8``), stereo
+    decorrelation (AlacFile.cs mid/side inverse run forward:
+    cb = L - R, ca = R + ((cb*lw) >> sh)) and the channel fold into
+    2F lanes all run on device — they are elementwise, so XLA fuses
+    them into the automaton prologue and the host sheds two full
+    passes over the chunk (measured 10 of 14.6 ms of encode prep,
+    bench_lib.run_encode_benchmark).  ``wide`` marks post-strip sample
+    widths over 16 bits (24-bit no-extra-bits content), where
+    |cb| * leftweight can pass 2^31; the host encoder computes those in
+    int64 and truncates to int32.  JAX here runs without x64, so the
+    wide product is emulated exactly in two int32 registers:
+    cb*lw = (cb>>16)*lw * 2^16 + (cb&0xFFFF)*lw with both partials
+    in-range, and the static ``>> sh`` distributes exactly over the
+    split (sh <= 16: the high partial is 2^sh-divisible; sh > 16: the
+    low partial can never carry past 2^sh).  int32 wrap-around equals
+    the host's int64-then-truncate mod 2^32, + and << being modular.
+    Narrow content multiplies directly — no product overflows.
+    """
+    hi = (pcm >> ub8) if ub8 else pcm
+    l_ch, r_ch = hi[:, :, 0], hi[:, :, 1]
+    if lw != 0:
+        cb = l_ch - r_ch
+        if wide:
+            p_hi = (cb >> 16) * lw
+            p_lo = (cb & 0xFFFF) * lw
+            if sh <= 16:
+                adj = (p_hi << (16 - sh)) + (p_lo >> sh)
+            else:
+                adj = p_hi >> (sh - 16)
+        else:
+            adj = (cb * lw) >> sh
+        ca = r_ch + adj
+    else:
+        ca, cb = l_ch, r_ch
+    st = stereo[:, None]
+    sig = jnp.concatenate(
+        [
+            jnp.where(st, ca, l_ch).astype(I32),
+            jnp.where(st, cb, 0).astype(I32),
+        ]
+    )
+    return encode_stages(sig, n, lp, rp, num_samples, max_order=max_order)
