@@ -178,6 +178,87 @@ def make_corpus_frames(
     )
 
 
+def _device_slope_time(
+    flags,
+    arrs,
+    frame_samples: int,
+    trials: int = 3,
+    target_s: float = 0.25,
+) -> float:
+    """Per-pass device time for a staged span list, as an in-executable
+    slope: ONE jitted dispatch runs the whole span list K times in a
+    ``fori_loop`` (iterations chained through the accumulator), timed at
+    K=1 and K=K2; ``per_pass = (t(K2) - t(1)) / (K2 - 1)``.
+
+    Why a slope inside one executable: the dev relay serializes each
+    executable call at a ~10-25 ms round trip (DESIGN.md §4c), so chains
+    of separate dispatches measure that floor, not the kernel — the
+    round-2 bench understated multi-span kinds ~2x this way (orders read
+    388 while the kernel runs at ~810 Msps).  The fixed per-call cost
+    cancels exactly in the slope.  Lanes are rolled by ``i + salt``
+    on-device: iterations see distinct inputs (no XLA CSE) and no two
+    timed RPCs are byte-identical (the relay memoizes identical calls);
+    the roll itself moves ~2 orders of magnitude less HBM than a decode
+    pass.  ``flags`` is a list of per-span (use_fused, max_order,
+    sub_hint); ``arrs`` interleaves per-span device-resident
+    (words, packed_meta).
+    """
+    import jax
+    from jax import lax
+
+    from .ops.frame_decode import decode_frames_packed
+
+    def make(K):
+        @jax.jit
+        def run(salt, *a):
+            def body(i, acc):
+                s = acc
+                for si, (uf, mo, cap) in enumerate(flags):
+                    w = jnp.roll(a[2 * si], i + salt, axis=0)
+                    mv = jnp.roll(a[2 * si + 1], i + salt, axis=0)
+                    out, n = decode_frames_packed(
+                        w, mv, frame_samples,
+                        use_fused=uf, max_order=mo, sub_hint=cap,
+                    )
+                    s = s + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
+                return s
+
+            return lax.fori_loop(
+                0, K, body, jnp.zeros((), jnp.int32)
+            )
+
+        return run
+
+    seed = int(np.random.default_rng().integers(1 << 20))
+
+    def tmin(run, base):
+        best = float("inf")
+        for j in range(trials):
+            t0 = time.perf_counter()
+            run(jnp.uint32(seed + base + j), *arrs).item()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1 = make(1)
+    r1(jnp.uint32(seed), *arrs).item()  # compile + warm
+    t1 = tmin(r1, 100)
+    K2 = 9
+    rk = make(K2)
+    rk(jnp.uint32(seed + 50), *arrs).item()
+    tk = tmin(rk, 200)
+    per = max(tk - t1, 1e-6) / (K2 - 1)
+    if tk - t1 < max(t1, 0.05):
+        # Slope drowned in relay jitter: rebuild with enough iterations
+        # that compute dominates the round trip (odd K keeps RPCs
+        # distinct from the K2=9 executable's).
+        K2 = min(129, max(17, int(target_s / max(per, 1e-5)) | 1))
+        rk = make(K2)
+        rk(jnp.uint32(seed + 60), *arrs).item()
+        tk = tmin(rk, 300)
+        per = max(tk - t1, 1e-6) / (K2 - 1)
+    return per
+
+
 def run_benchmark(
     batch: int = 4096,
     seconds_of_audio: float | None = None,
@@ -227,94 +308,24 @@ def run_benchmark(
     fused_all = all(uf for _, uf, *_ in spanned)
     import jax
 
-    # Distinct input buffers per dispatch, rotated by a process-random
-    # base: content-identical dispatches are memoized by the axon relay
-    # (which would fake the timing), and deterministic rolls repeat
-    # across processes.  Metadata rolls identically to stay consistent.
-    salt = np.random.default_rng()
-    repeats = max(2, repeats)
-    nvar = 2 * repeats + 1  # two disjoint timed chains + warm-up
-    base = int(salt.integers(1, max(2, batch - nvar - 1)))
-
-    def make_variant(r):
-        """Per-span (words, packed meta) with lanes rolled within the span."""
-        staged = []
-        for fb, uf, mo, cap in spanned:
-            w = np.roll(fb.words, base + r, axis=0)
-            mv = np.roll(FrameMetaArrays.pack_host(fb), base + r, axis=0)
-            staged.append((jnp.asarray(w), jnp.asarray(mv), uf, mo, cap))
-        return staged
-
-    variants = [make_variant(r) for r in range(nvar)]
-    # Force H2D with a real readback: over the axon relay,
+    flags = [(uf, mo, cap) for _, uf, mo, cap in spanned]
+    arrs: list = []
+    for fb, _, _, _ in spanned:
+        arrs.append(jnp.asarray(fb.words))
+        arrs.append(jnp.asarray(FrameMetaArrays.pack_host(fb)))
+    # Force real H2D with a readback: over the axon relay,
     # block_until_ready is a no-op and transfers complete lazily.
-    force = jnp.zeros((), jnp.uint32)
-    for staged in variants:
-        for w, mv, *_ in staged:
-            force = force + jnp.sum(w)
-    force.item()
+    jnp.sum(jnp.stack([jnp.sum(a) for a in arrs[::2]])).item()
 
-    def dispatch_variant(staged, acc):
-        for w, mv, uf, mo, cap in staged:
-            out, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
-            )
-            acc = acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
-        return acc
-
-    # Warm-up (compile)
-    warm = 2 * repeats
-    jnp.sum(dispatch_variant(variants[warm], jnp.zeros((), jnp.int32))).item()
-
-    def run_chain(idxs):
-        """One scalar readback for a whole chain of dispatches — every
-        value readback costs a ~30 ms relay round trip, so per-dispatch
-        timing would measure the tunnel, not the kernel."""
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.int32)
-        for r in idxs:
-            acc = dispatch_variant(variants[r], acc)
-        acc.item()
-        return time.perf_counter() - t0
-
-    # RTT baseline: the warmed variant re-dispatch is served from the
-    # relay memo.  Relay timing has multi-hundred-ms hiccups: min of 3,
-    # and the timed estimate is the min over two DISJOINT chains (fresh
-    # buffers each — identical dispatches get memoized).
-    t_rtt = min(run_chain([warm]) for _ in range(3))
-    per = (
-        min(
-            run_chain(range(repeats)),
-            run_chain(range(repeats, 2 * repeats)),
-        )
-        - t_rtt
-    ) / repeats
-    if per * repeats < 3 * t_rtt:
-        # Kernel time is in the RTT noise floor: extend the chain with
-        # enough fresh distinct buffers that compute dominates.
-        extra = min(32, max(8, int(3 * t_rtt / max(per, 1e-4))))
-        for r in range(warm + 1, warm + 1 + extra):
-            variants.append(make_variant(r))
-        force = jnp.zeros((), jnp.uint32)
-        for staged in variants[warm + 1 :]:
-            for w, mv, *_ in staged:
-                force = force + jnp.sum(w)
-        force.item()
-        idxs = list(range(2 * repeats)) + list(
-            range(warm + 1, warm + 1 + extra)
-        )
-        per = (run_chain(idxs) - t_rtt) / len(idxs)
-    if per <= 0:
-        # RTT jitter exceeded the chain time: fall back to the un-subtracted
-        # chain (pessimistic but positive) rather than publishing a clamped
-        # absurdity.
-        per = run_chain(range(repeats)) / repeats
-    best = per
+    best = _device_slope_time(
+        flags, arrs, frame_samples, trials=max(2, repeats)
+    )
     total_samples = 0
     parity_ok = True
-    for w, mv, uf, mo, cap in variants[0]:
+    for si, (uf, mo, cap) in enumerate(flags):
         out, n = decode_frames_packed(
-            w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
+            arrs[2 * si], arrs[2 * si + 1], frame_samples,
+            use_fused=uf, max_order=mo, sub_hint=cap,
         )
         total_samples += int(jnp.sum(n).item())
         # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's
@@ -322,7 +333,8 @@ def run_benchmark(
         # for bit.
         if uf:
             ref_out, _ = decode_frames_packed(
-                w, mv, frame_samples, use_fused=False, max_order=mo
+                arrs[2 * si], arrs[2 * si + 1], frame_samples,
+                use_fused=False, max_order=mo,
             )
             parity_ok = parity_ok and bool(
                 jnp.array_equal(out, ref_out).item()
@@ -454,29 +466,19 @@ def run_e2e_benchmark(
         jax.block_until_ready([s[0] for s in staged])
         return staged
 
-    def _decode_staged(staged):
-        from .ops.frame_decode import decode_frames_packed
-
-        acc = jnp.zeros((), jnp.int32)
-        for w, mv, uf, mo, cap in staged:
-            _, n = decode_frames_packed(
-                w, mv, frame_samples, use_fused=uf, max_order=mo, sub_hint=cap
-            )
-            acc = _account(n, acc)
-        acc.block_until_ready()
-
-    def staged_device_run(warm_corpus, timed_corpus):
-        """Device-stage time for the identical sorted batches, inputs
-        pre-staged: what the pipeline costs on a host whose H2D/dispatch
-        isn't tunneled (the axon relay adds ~30 ms per dispatch and
-        ~0.5 GB/s H2D, neither a property of the pipeline).  Distinct
-        warm/timed corpora — identical repeated dispatches can be
-        memoized by the relay."""
-        _decode_staged(_stage(*warm_corpus))
+    def staged_device_run(timed_corpus):
+        """Device-stage per-pass time for the identical sorted batches,
+        inputs pre-staged, measured as the in-executable K-loop slope
+        (``_device_slope_time``): what the pipeline costs on a host
+        whose dispatch isn't tunneled (the axon relay serializes each
+        executable call at a ~10-25 ms round trip and ~0.5 GB/s H2D,
+        neither a property of the pipeline — DESIGN.md §4c)."""
         staged = _stage(*timed_corpus)
-        t0 = time.perf_counter()
-        _decode_staged(staged)
-        return time.perf_counter() - t0
+        flags = [(uf, mo, cap) for _, _, uf, mo, cap in staged]
+        arrs: list = []
+        for w, mv, *_ in staged:
+            arrs.extend([w, mv])
+        return _device_slope_time(flags, arrs, frame_samples)
 
     def host_stage_run(corpora):
         """Standalone host-stage time (native pre-parse + per-span word
@@ -597,7 +599,7 @@ def run_e2e_benchmark(
         host_inline_s = min(host_inline_s, GLOBAL_STATS.snapshot()["host_seconds"])
         if dt < best_dt:
             best_dt, total = dt, t
-    device_s = staged_device_run(build(repeats + 1), build(repeats + 2))
+    device_s = staged_device_run(build(repeats + 2))
     host_s = host_stage_run([build(repeats + 3 + r) for r in range(3)])
     ov_total, ov_wall, ov_nd, ov_bytes = min(
         (overlapped_run(*build(20 + r)) for r in range(2)),
