@@ -259,6 +259,63 @@ def _device_slope_time(
     return per
 
 
+def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
+    """Per-pass device cost of the on-device row assembly (config
+    device_pack): blob->words (ops/pallas/pack_rows.blob_words) plus
+    per-span row gather (pack_rows), as the same in-executable
+    ``fori_loop`` slope as ``_device_slope_time`` — the relay's
+    per-dispatch floor cancels in the slope.  ``row_spans`` is a list of
+    per-span (ow, nbytes, W) with ow/nbytes already padded to the span's
+    lane count."""
+    import jax
+    from jax import lax
+
+    from .ops.pallas.pack_rows import blob_words, pack_rows
+
+    blob_d = jnp.asarray(blob_u8)
+    arrs: list = []
+    for ow, nb, _ in row_spans:
+        arrs.append(jnp.asarray(ow))
+        arrs.append(jnp.asarray(nb))
+    jnp.sum(jnp.stack([jnp.sum(a) for a in arrs])).item()  # force H2D
+
+    def make(K):
+        @jax.jit
+        def run(salt, blob, *a):
+            def body(i, acc):
+                bw = blob_words(blob, max_w=max_w)
+                s = acc + bw[0, 0].astype(jnp.int32)
+                for si, (_, _, W) in enumerate(row_spans):
+                    ow = jnp.roll(a[2 * si], i + salt)
+                    nb = a[2 * si + 1]
+                    rows = pack_rows(bw, ow, nb, W)
+                    s = s + rows[-1, -1].astype(jnp.int32)
+                return s
+
+            return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+
+        return run
+
+    seed = int(np.random.default_rng().integers(1 << 20))
+
+    def tmin(run, base):
+        best = float("inf")
+        for j in range(trials):
+            t0 = time.perf_counter()
+            run(jnp.uint32(seed + base + j), blob_d, *arrs).item()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1 = make(1)
+    r1(jnp.uint32(seed), blob_d, *arrs).item()
+    t1 = tmin(r1, 100)
+    K2 = 9
+    rk = make(K2)
+    rk(jnp.uint32(seed + 50), blob_d, *arrs).item()
+    tk = tmin(rk, 200)
+    return max(tk - t1, 1e-6) / (K2 - 1)
+
+
 def run_benchmark(
     batch: int = 4096,
     seconds_of_audio: float | None = None,
@@ -405,6 +462,13 @@ def run_e2e_benchmark(
 
     pool, params = _mixed_pool(frame_samples, bits, seed=seed)
     rng = np.random.default_rng(seed)
+    from .config import DEFAULT
+
+    # Mirrors decode_blob's gate: with device_pack on, the word-row
+    # table is assembled on-device and every stage measurement below
+    # follows that split (host stage w/o word packing, device stage
+    # including the pack slope, overlapped wall shipping the blob once).
+    devpack = DEFAULT.device_pack and jax.default_backend() in ("tpu", "cpu")
 
     def build(order_seed: int):
         idx = rng.permutation(
@@ -478,7 +542,38 @@ def run_e2e_benchmark(
         arrs: list = []
         for w, mv, *_ in staged:
             arrs.extend([w, mv])
-        return _device_slope_time(flags, arrs, frame_samples)
+        dec = _device_slope_time(flags, arrs, frame_samples)
+        if devpack:
+            # device_pack: the device also assembles the row tables
+            # (blob->words + per-span gather) — add its slope-measured
+            # per-pass cost so the stage covers everything the device
+            # does per corpus.
+            dec += _pack_slope_time(*_stage_rows(timed_corpus))
+        return dec
+
+    def _stage_rows(timed_corpus):
+        """(blob, per-span padded (ow, nbytes, W), max_w) for the pack
+        slope, planned exactly as decode_blob's devpack path."""
+        from .codec.framemeta_vec import words_width
+        from .ops.pallas.pack_rows import TB
+        from .parallel.pipeline import (
+            WORD_BUCKET, _pad_axis0, plan_blob_batches,
+        )
+
+        blob, offsets, sizes = timed_corpus
+        perm, _, spans, span_batch = plan_blob_batches(
+            blob, offsets, sizes, params, batch_limit, strict=True
+        )
+        row_spans = []
+        for lo, hi in spans:
+            fb, ow, nb, W = span_batch(perm[lo:hi], device_rows=True)
+            b = pad_frame_batch(fb).batch
+            b = -(-b // TB) * TB
+            row_spans.append((_pad_axis0(ow, b), _pad_axis0(nb, b), W))
+        max_w = words_width(
+            int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
+        )
+        return blob, row_spans, max_w
 
     def host_stage_run(corpora):
         """Standalone host-stage time (native pre-parse + per-span word
@@ -500,8 +595,16 @@ def run_e2e_benchmark(
                 blob, offsets, sizes, params, batch_limit, strict=True
             )
             for lo, hi in spans:
-                fb = pad_frame_batch(span_batch(perm[lo:hi]))
-                _fused_plan(fb)
+                if devpack:
+                    # device_pack: the host stage stops at header parse +
+                    # row params + metadata packing — word-row assembly
+                    # moved to the device (ops/pallas/pack_rows).
+                    fb, _, _, W = span_batch(perm[lo:hi], device_rows=True)
+                    fb = pad_frame_batch(fb)
+                    _fused_plan(fb, width=W)
+                else:
+                    fb = pad_frame_batch(span_batch(perm[lo:hi]))
+                    _fused_plan(fb)
                 FrameMetaArrays.pack_host(fb)
             best = min(best, time.perf_counter() - t0)
         return best
@@ -522,34 +625,68 @@ def run_e2e_benchmark(
         q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
 
         def host_worker():
+            from .ops.pallas.pack_rows import TB
+            from .parallel.pipeline import _pad_axis0
+
             perm, _, spans, span_batch = plan_blob_batches(
                 blob, offsets, sizes, params, batch_limit, strict=True
             )
             for lo, hi in spans:
-                fb = pad_frame_batch(span_batch(perm[lo:hi]))
-                uf, mo = _fused_plan(fb)
+                if devpack:
+                    fb, ow, nb, W = span_batch(perm[lo:hi], device_rows=True)
+                    fb = pad_frame_batch(fb)
+                    uf, mo = _fused_plan(fb, width=W)
+                    b = -(-fb.batch // TB) * TB
+                    rows = (_pad_axis0(ow, b), _pad_axis0(nb, b), W)
+                else:
+                    fb = pad_frame_batch(span_batch(perm[lo:hi]))
+                    uf, mo = _fused_plan(fb)
+                    rows = None
                 q.put(
                     (fb.words, FrameMetaArrays.pack_host(fb), uf, mo,
-                     span_sub_hint(sizes[perm[lo:hi]]))
+                     span_sub_hint(sizes[perm[lo:hi]]), rows)
                 )
             q.put(None)
 
-        from .ops.frame_decode import decode_frames_packed
+        import jax
 
+        from .ops.frame_decode import decode_frames_packed
+        from .ops.pallas.pack_rows import blob_words, pack_rows, pack_rows_xla
+
+        from .codec.framemeta_vec import words_width
+        from .parallel.pipeline import WORD_BUCKET
+
+        packer = pack_rows if jax.default_backend() == "tpu" else pack_rows_xla
         t0 = time.perf_counter()
         th = threading.Thread(target=host_worker, daemon=True)
         th.start()
         acc = jnp.zeros((), jnp.int32)
         n_dispatch = 0
         h2d_bytes = 0
+        bwords = None
+        if devpack:
+            # One blob H2D for the whole corpus (the devpack design).
+            max_w = words_width(
+                int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
+            )
+            bwords = blob_words(jnp.asarray(blob), max_w=max_w)
+            h2d_bytes += blob.nbytes
         while True:
             item = q.get()
             if item is None:
                 break
-            w, mv, uf, mo, cap = item
-            h2d_bytes += w.nbytes + mv.nbytes
+            w, mv, uf, mo, cap, rows = item
+            if rows is not None:
+                ow, nb, W = rows
+                h2d_bytes += mv.nbytes + ow.nbytes + nb.nbytes
+                words_dev = packer(
+                    bwords, jnp.asarray(ow), jnp.asarray(nb), W
+                )
+            else:
+                h2d_bytes += w.nbytes + mv.nbytes
+                words_dev = jnp.asarray(w)
             _, nn = decode_frames_packed(
-                jnp.asarray(w), jnp.asarray(mv), frame_samples,
+                words_dev, jnp.asarray(mv), frame_samples,
                 use_fused=uf, max_order=mo, sub_hint=cap,
             )
             acc = _account(nn, acc)
@@ -658,6 +795,7 @@ def run_e2e_benchmark(
         "tunnel_wall_msps": round(msps, 3),
         "e2e_total_frames": total_frames,
         "e2e_total_samples": total,
+        "device_pack": devpack,
         "native_parser": _native_available(),
     }
 

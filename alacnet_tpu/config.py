@@ -89,6 +89,14 @@ class DecodeConfig:
     order_primary: bool = dataclasses.field(
         default_factory=lambda: _env_bool("ALAC_ORDER_PRIMARY", False)
     )
+    #: Assemble the (B, W) word-row table on the device
+    #: (ops/pallas/pack_rows): the host ships the raw blob once (~half
+    #: the H2D bytes) and keeps only header parsing — the host stage
+    #: stops being the pipeline bound on 1-core hosts.  Single-device
+    #: TPU path only; mesh/CPU paths keep the native host packer.
+    device_pack: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("ALAC_DEVICE_PACK", True)
+    )
 
     def validate(self) -> "DecodeConfig":
         if self.kernel not in ("auto", "fused", "xla"):

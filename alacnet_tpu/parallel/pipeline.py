@@ -81,7 +81,9 @@ _ORDER_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 30)
 MAX_ORDER_SENTINEL = 31
 
 
-def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
+def _fused_plan(
+    fb: FrameBatch, n_shards: int = 1, width: int | None = None
+) -> tuple[bool, int]:
     """Decide Pallas-vs-XLA and the static adaptive-walk bound.
 
     config.DEFAULT.kernel: "xla" forces the scan path; "fused" requires
@@ -92,12 +94,14 @@ def _fused_plan(fb: FrameBatch, n_shards: int = 1) -> tuple[bool, int]:
 
     from ..config import DEFAULT
 
+    if width is None:
+        width = fb.words.shape[1]
     per_shard = fb.batch // max(1, n_shards)
     eligible = (
         fb.batch % max(1, n_shards) == 0
         and per_shard % FUSED_MIN_BATCH == 0
-        and fb.words.shape[1] % 8 == 0
-        and fb.words.shape[1] <= FUSED_MAX_WORDS_STREAM
+        and width % 8 == 0
+        and width <= FUSED_MAX_WORDS_STREAM
     )
     if DEFAULT.kernel == "xla":
         use = False
@@ -164,9 +168,18 @@ def span_sub_hint(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
     return 0
 
 
+def _devpack_backend() -> bool:
+    """Device row assembly runs on any single-device backend: the pallas
+    kernel on TPU, the bit-identical XLA fallback elsewhere (which keeps
+    the path under the routine CPU test suite)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "cpu")
+
+
 def dispatch_frame_batch(
     fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False,
-    sub_hint: int = 0,
+    sub_hint: int = 0, device_rows=None,
 ):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
@@ -177,6 +190,12 @@ def dispatch_frame_batch(
     ``mesh``: decode across a jax.sharding.Mesh — the lane axis shards
     over every device (DP, SURVEY.md §2.5) with host arrays placed
     straight onto their target shards.
+
+    ``device_rows``: ``(bwords, ow, nbytes, W)`` from
+    ``span_batch(idx, device_rows=True)`` + a device-resident
+    ``blob_words`` blob — the word-row table is then assembled on-device
+    (ops/pallas/pack_rows) instead of shipped from the host; fb carries
+    an empty (B, 0) words placeholder.  Single-device path only.
     """
     from ..config import DEFAULT
 
@@ -189,7 +208,8 @@ def dispatch_frame_batch(
             fb = pad_frame_batch(
                 fb, -(-fb.batch // n_shards) * n_shards
             )
-    use_fused, max_order = _fused_plan(fb, n_shards)
+    width = device_rows[3] if device_rows is not None else None
+    use_fused, max_order = _fused_plan(fb, n_shards, width=width)
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     if mesh is not None:
         from .mesh import decode_frames_spmd, shard_frame_batch
@@ -201,10 +221,25 @@ def dispatch_frame_batch(
             whole_table=whole_table, sub_hint=sub_hint,
         )
         return out, n, orig_b
-    # Two H2D transfers per batch (words + one packed metadata matrix):
-    # per-array transfer setup otherwise dominates the pipeline wall.
+    if device_rows is not None:
+        import jax
+
+        from ..ops.pallas.pack_rows import pack_rows, pack_rows_xla
+
+        bwords, ow, nbytes, W = device_rows
+        ow = _pad_axis0(ow, fb.batch)  # padded lanes: ow=0, nbytes=0
+        nbytes = _pad_axis0(nbytes, fb.batch)
+        packer = (
+            pack_rows if jax.default_backend() == "tpu" else pack_rows_xla
+        )
+        words_dev = packer(bwords, jnp.asarray(ow), jnp.asarray(nbytes), W)
+    else:
+        # Two H2D transfers per batch (words + one packed metadata
+        # matrix): per-array transfer setup otherwise dominates the
+        # pipeline wall.
+        words_dev = jnp.asarray(fb.words)
     out, n = decode_frames_packed(
-        jnp.asarray(fb.words),
+        words_dev,
         jnp.asarray(FrameMetaArrays.pack_host(fb)),
         max_samples,
         use_fused=use_fused,
@@ -354,13 +389,34 @@ def plan_blob_batches(
         f.name for f in dataclasses.fields(FrameBatch) if f.name != "words"
     ]
 
-    def span_batch(idx: np.ndarray) -> FrameBatch:
-        """Assemble one batch: sliced pre-parsed headers + packed words."""
+    def span_batch(idx: np.ndarray, device_rows: bool = False):
+        """Assemble one batch: sliced pre-parsed headers + packed words.
+
+        ``device_rows=True`` skips host word packing entirely and
+        returns ``(fb, ow, nbytes, W)`` for the on-device row assembler
+        (ops/pallas/pack_rows): fb.words is an empty (B, 0) placeholder,
+        and the parsed bit positions are bumped by the frame's sub-word
+        byte shift (the device packer copies word-aligned windows).
+        """
         from .. import native
         from ..ops.bitreader import pack_frames_to_words
 
         offs = np.ascontiguousarray(offsets[idx])
         szs = np.ascontiguousarray(sizes[idx])
+        if device_rows:
+            from ..ops.pallas.pack_rows import host_row_params
+
+            ow, nbytes, bump = host_row_params(offs, szs)
+            W = words_width(
+                int(nbytes.max()) if len(nbytes) else 0, WORD_BUCKET
+            )
+            fields = {f: getattr(hdr, f)[idx] for f in hdr_fields}
+            fields["payload_pos"] = fields["payload_pos"] + bump
+            fields["entropy_pos"] = fields["entropy_pos"] + bump
+            fb = FrameBatch(
+                words=np.zeros((len(idx), 0), np.uint32), **fields
+            )
+            return fb, ow, nbytes, W
         nwords = words_width(int(szs.max()) if len(szs) else 0, WORD_BUCKET)
         words = native.pack_frames_native(blob, offs, szs, nwords)
         if words is None:
@@ -415,13 +471,30 @@ def decode_blob(
         perm, inv, spans, span_batch = plan_blob_batches(
             blob, offsets, sizes, params, batch_limit, strict
         )
+    # Device-side row assembly (ops/pallas/pack_rows): ship the raw
+    # blob once, skip the host word packer entirely.  Single-device
+    # TPU path; the mesh path shards host-packed rows.
+    devpack = DEFAULT.device_pack and mesh is None and _devpack_backend()
+    bwords = None
+    if devpack:
+        from ..codec.framemeta_vec import words_width
+        from ..ops.pallas.pack_rows import blob_words
+
+        # Widest row any span will gather: the fattest frame's bytes
+        # plus its <=3-byte sub-word shift.  Sizing the blob padding to
+        # it keeps every tail-frame window in bounds (wrong-clip bug:
+        # a clipped window re-bases the row and corrupts the decode).
+        max_w = words_width(
+            int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
+        )
+        bwords = blob_words(jnp.asarray(np.asarray(blob)), max_w=max_w)
     outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).
     pending: list = []
 
     def drain_one():
-        out_d, n_d, orig_b, frames, nbytes, status, fb = pending.pop(0)
+        out_d, n_d, orig_b, frames, nbytes, status, fb, rows = pending.pop(0)
         if sink is not None:
             sink(out_d, n_d, orig_b)
             GLOBAL_STATS.record(frames=frames, coded_bytes=nbytes)
@@ -436,7 +509,8 @@ def decode_blob(
             # inputs only; ops/pallas/rice_lpc.plan_tiles).  Re-decode
             # the span with classic whole-table residency.
             out_d, n_d, _ = dispatch_frame_batch(
-                fb, max_samples, mesh=mesh, whole_table=True
+                fb, max_samples, mesh=mesh, whole_table=True,
+                device_rows=rows,
             )
             out = np.asarray(out_d[:orig_b])
             n = np.asarray(n_d[:orig_b])
@@ -449,14 +523,20 @@ def decode_blob(
 
     for lo, hi in spans:
         idx = perm[lo:hi]
+        rows = None
         with trace_span("alac.host.parse", "host_seconds"):
-            fb = span_batch(idx)
+            if devpack:
+                fb, ow, nb, W = span_batch(idx, device_rows=True)
+                rows = (bwords, ow, nb, W)
+            else:
+                fb = span_batch(idx)
         out_d, n_d, orig_b = dispatch_frame_batch(
-            fb, max_samples, mesh=mesh, sub_hint=span_sub_hint(sizes[idx])
+            fb, max_samples, mesh=mesh, sub_hint=span_sub_hint(sizes[idx]),
+            device_rows=rows,
         )
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),
-             fb.status[: hi - lo], fb)
+             fb.status[: hi - lo], fb, rows)
         )
         if len(pending) >= 2:
             drain_one()

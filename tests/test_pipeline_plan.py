@@ -176,10 +176,10 @@ class TestStallFallback:
         calls = []
 
         def fake_dispatch(fb, max_samples, mesh=None, whole_table=False,
-                          sub_hint=0):
+                          sub_hint=0, device_rows=None):
             out, n, orig_b = real_dispatch(
                 fb, max_samples, mesh=mesh, whole_table=whole_table,
-                sub_hint=sub_hint,
+                sub_hint=sub_hint, device_rows=device_rows,
             )
             calls.append(whole_table)
             if not whole_table and len(calls) == 1:
