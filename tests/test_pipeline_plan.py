@@ -163,6 +163,31 @@ class TestDecodeBlobMixedOrders:
         for i, pcm in enumerate(pcms):
             np.testing.assert_array_equal(out[i, : n[i], :], pcm)
 
+    def test_device_pack_ab_bit_exact(self, monkeypatch):
+        """decode_blob with device-side row assembly (config.device_pack,
+        ops/pallas/pack_rows) vs the host word packer: identical output,
+        including frames whose blob offsets are word-unaligned (the
+        start-bit bump path) and a fat tail frame in a wide span."""
+        from alacnet_tpu import config as cfg
+        from alacnet_tpu import parallel as _par  # noqa: F401
+
+        blob, offsets, sizes, params, pcms = _corpus(frames_per=5)
+        results = {}
+        for flag in (True, False):
+            monkeypatch.setattr(
+                cfg.DEFAULT, "device_pack", flag, raising=True
+            )
+            results[flag] = decode_blob(
+                blob, offsets, sizes, params, S, batch_limit=8
+            )
+        out_on, n_on, st_on = results[True]
+        out_off, n_off, st_off = results[False]
+        assert not st_on.any() and not st_off.any()
+        np.testing.assert_array_equal(out_on, out_off)
+        np.testing.assert_array_equal(n_on, n_off)
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out_on[i, : n_on[i], :], pcm)
+
 
 class TestStallFallback:
     def test_drain_redecodes_stalled_spans_whole_table(self, monkeypatch):
