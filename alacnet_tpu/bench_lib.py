@@ -270,9 +270,11 @@ def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
     import jax
     from jax import lax
 
-    from .ops.pallas.pack_rows import blob_words, pack_rows
+    from .ops.pallas.pack_rows import _words_from_le, host_le_words, pack_rows
 
-    blob_d = jnp.asarray(blob_u8)
+    w32, tail_be, nq = host_le_words(blob_u8, max_w)
+    blob_d = jnp.asarray(w32)
+    tail_d = jnp.uint32(tail_be)
     arrs: list = []
     for ow, nb, _ in row_spans:
         arrs.append(jnp.asarray(ow))
@@ -283,7 +285,7 @@ def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
         @jax.jit
         def run(salt, blob, *a):
             def body(i, acc):
-                bw = blob_words(blob, max_w=max_w)
+                bw = _words_from_le(blob, tail_d, nq)
                 s = acc + bw[0, 0].astype(jnp.int32)
                 for si, (_, _, W) in enumerate(row_spans):
                     ow = jnp.roll(a[2 * si], i + salt)
@@ -669,7 +671,7 @@ def run_e2e_benchmark(
             max_w = words_width(
                 int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
             )
-            bwords = blob_words(jnp.asarray(blob), max_w=max_w)
+            bwords = blob_words(blob, max_w=max_w)
             h2d_bytes += blob.nbytes
         while True:
             item = q.get()

@@ -101,6 +101,63 @@ def decode_frames_spmd(
     )(words, packed_meta)
 
 
+def decode_frames_spmd_rows(
+    bwords,
+    ow: np.ndarray,
+    nbytes: np.ndarray,
+    W: int,
+    packed_meta: np.ndarray,
+    mesh: Mesh,
+    num_samples: int,
+    use_fused: bool = False,
+    max_order: int = 31,
+    emit16: bool = False,
+    whole_table: bool = False,
+    sub_hint: int = 0,
+):
+    """Sharded decode with device-side row assembly (config.device_pack).
+
+    The (Nq, 128) word blob (ops/pallas/pack_rows.blob_words) is
+    replicated across the mesh — one broadcast per corpus, about half
+    the bytes of the padded row grid — and each shard gathers only its
+    own lanes' rows (pack_rows) before decoding them: the host never
+    packs word rows, so multi-chip scaling isn't re-bottlenecked on the
+    host packer.  ``ow``/``nbytes``/``packed_meta`` are host arrays
+    padded to the global lane count; they shard on the frame axis.
+    """
+    from ..ops.pallas.pack_rows import TB, pack_rows, pack_rows_xla
+
+    spec = P(FRAME_AXIS)
+    sh = NamedSharding(mesh, spec)
+    per_shard = ow.shape[0] // mesh.devices.size
+    # The pallas gather needs TB-aligned per-shard lanes; otherwise the
+    # bit-identical XLA gather runs per shard (still on-device).
+    kernel_pack = (
+        jax.default_backend() == "tpu" and per_shard % TB == 0 and W % 256 == 0
+    )
+
+    def fn(bw, o, nb, m):
+        packer = pack_rows if kernel_pack else pack_rows_xla
+        words = packer(bw, o, nb, W)
+        return decode_frames(
+            words, FrameMetaArrays.unpack(m), num_samples,
+            use_fused=use_fused, max_order=max_order, emit16=emit16,
+            whole_table=whole_table, sub_hint=sub_hint,
+        )
+
+    bwords_r = jax.device_put(bwords, NamedSharding(mesh, P()))
+    ow_d = jax.device_put(np.ascontiguousarray(ow.astype(np.int32)), sh)
+    nb_d = jax.device_put(np.ascontiguousarray(nbytes.astype(np.int32)), sh)
+    meta_d = jax.device_put(packed_meta, sh)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(bwords_r, ow_d, nb_d, meta_d)
+
+
 def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
     """Decode a FrameBatch across every chip in the mesh.
 

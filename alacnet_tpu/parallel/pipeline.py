@@ -487,7 +487,7 @@ def decode_blob(
         max_w = words_width(
             int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
         )
-        bwords = blob_words(jnp.asarray(np.asarray(blob)), max_w=max_w)
+        bwords = blob_words(np.asarray(blob), max_w=max_w)
     outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).

@@ -71,7 +71,7 @@ class TestPackRowsXla:
     @pytest.mark.parametrize("W", [256, 512, 1536])
     def test_matches_numpy_reference(self, rng, W):
         blob, ow, nbytes = _rand_case(rng, 64, W, 200_000)
-        bw = blob_words(jnp.asarray(blob), max_w=W)
+        bw = blob_words(np.asarray(blob), max_w=W)
         got = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), W))
         np.testing.assert_array_equal(got, _ref_rows(blob, ow, nbytes, W, max_w=W))
 
@@ -86,7 +86,7 @@ class TestPackRowsXla:
         nw = -(-len(blob) // 4)
         ow = np.array([nw - 100, nw - 1, nw - 2048], np.int32)
         nbytes = np.array([400, 4, 8192], np.int32)
-        bw = blob_words(jnp.asarray(blob), max_w=W)
+        bw = blob_words(np.asarray(blob), max_w=W)
         got = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), W))
         np.testing.assert_array_equal(got, _ref_rows(blob, ow, nbytes, W, max_w=W))
         got_k = np.asarray(
@@ -98,16 +98,30 @@ class TestPackRowsXla:
             _ref_rows(blob, np.resize(ow, TB), np.resize(nbytes, TB), W, max_w=W),
         )
 
+    @pytest.mark.parametrize("extra", [1, 2, 3])
+    def test_blob_tail_bytes_land_in_last_word(self, rng, extra):
+        """Blob length % 4 != 0: the <=3 tail bytes must appear
+        big-endian-aligned in the word past the uint32 view (the
+        host_le_words tail scalar)."""
+        blob = rng.integers(0, 256, 4096 + extra, dtype=np.uint8)
+        ow = np.zeros(TB, np.int32)
+        nbytes = np.full(TB, len(blob), np.int32)
+        bw = blob_words(np.asarray(blob), max_w=2048)
+        got = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), 2048))
+        np.testing.assert_array_equal(
+            got, _ref_rows(blob, ow, nbytes, 2048, max_w=2048)
+        )
+
     def test_zero_nbytes_row_is_all_zero(self, rng):
         blob, ow, nbytes = _rand_case(rng, TB, 256, 8_192)
         nbytes[:] = 0
-        bw = blob_words(jnp.asarray(blob))
+        bw = blob_words(np.asarray(blob))
         got = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), 256))
         assert not got.any()
 
     def test_partial_word_tail_masks_low_bytes(self):
         blob = np.arange(1, 65, dtype=np.uint8)
-        bw = blob_words(jnp.asarray(blob))
+        bw = blob_words(np.asarray(blob))
         # 6 valid bytes -> word 0 full, word 1 keeps only its top 2 bytes.
         got = np.asarray(
             pack_rows_xla(
@@ -126,7 +140,7 @@ class TestPackRowsKernel:
     @pytest.mark.parametrize("W", [256, 1024])
     def test_matches_xla_fallback(self, rng, W):
         blob, ow, nbytes = _rand_case(rng, 4 * TB, W, 400_000)
-        bw = blob_words(jnp.asarray(blob))
+        bw = blob_words(np.asarray(blob))
         want = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), W))
         got = np.asarray(
             pack_rows(bw, jnp.asarray(ow), jnp.asarray(nbytes), W, interpret=True)
@@ -144,7 +158,7 @@ class TestPackRowsKernel:
         blob = rng.integers(0, 256, (res.max() + ALIGN + W) * 4 + 17, dtype=np.uint8)
         ow = res + ALIGN  # a full aligned window below keeps clipping inert
         nbytes = np.full(len(ow), W * 4, np.int32)
-        bw = blob_words(jnp.asarray(blob))
+        bw = blob_words(np.asarray(blob))
         want = np.asarray(pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), W))
         got = np.asarray(
             pack_rows(bw, jnp.asarray(ow), jnp.asarray(nbytes), W, interpret=True)
@@ -171,7 +185,7 @@ class TestHostRowParams:
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + 3  # unaligned
         ow, nbytes, bump = host_row_params(offsets, sizes)
         W = 256
-        bw = blob_words(jnp.asarray(blob))
+        bw = blob_words(np.asarray(blob))
         rows = np.asarray(
             pack_rows_xla(bw, jnp.asarray(ow), jnp.asarray(nbytes), W)
         )
