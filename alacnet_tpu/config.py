@@ -92,8 +92,10 @@ class DecodeConfig:
     #: Assemble the (B, W) word-row table on the device
     #: (ops/pallas/pack_rows): the host ships the raw blob once (~half
     #: the H2D bytes) and keeps only header parsing — the host stage
-    #: stops being the pipeline bound on 1-core hosts.  Single-device
-    #: TPU path only; mesh/CPU paths keep the native host packer.
+    #: stops being the pipeline bound on 1-core hosts.  Under a mesh
+    #: the word blob replicates (one broadcast per corpus) and each
+    #: shard gathers its own lanes' rows.  tpu: pallas kernel; cpu:
+    #: bit-identical XLA fallback.
     device_pack: bool = dataclasses.field(
         default_factory=lambda: _env_bool("ALAC_DEVICE_PACK", True)
     )

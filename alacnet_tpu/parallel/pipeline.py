@@ -169,9 +169,9 @@ def span_sub_hint(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
 
 
 def _devpack_backend() -> bool:
-    """Device row assembly runs on any single-device backend: the pallas
-    kernel on TPU, the bit-identical XLA fallback elsewhere (which keeps
-    the path under the routine CPU test suite)."""
+    """Device row assembly runs on tpu (pallas kernel) and cpu (the
+    bit-identical XLA fallback, which keeps the path under the routine
+    CPU test suite), single-device or mesh."""
     import jax
 
     return jax.default_backend() in ("tpu", "cpu")
@@ -195,7 +195,9 @@ def dispatch_frame_batch(
     ``span_batch(idx, device_rows=True)`` + a device-resident
     ``blob_words`` blob — the word-row table is then assembled on-device
     (ops/pallas/pack_rows) instead of shipped from the host; fb carries
-    an empty (B, 0) words placeholder.  Single-device path only.
+    an empty (B, 0) words placeholder.  Under a mesh the blob is
+    replicated and each shard gathers its own lanes' rows
+    (mesh.decode_frames_spmd_rows).
     """
     from ..config import DEFAULT
 
@@ -212,8 +214,20 @@ def dispatch_frame_batch(
     use_fused, max_order = _fused_plan(fb, n_shards, width=width)
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     if mesh is not None:
-        from .mesh import decode_frames_spmd, shard_frame_batch
+        from .mesh import (
+            decode_frames_spmd, decode_frames_spmd_rows, shard_frame_batch,
+        )
 
+        if device_rows is not None:
+            bwords, ow, nbytes, W = device_rows
+            out, n = decode_frames_spmd_rows(
+                bwords, _pad_axis0(ow, fb.batch),
+                _pad_axis0(nbytes, fb.batch), W,
+                FrameMetaArrays.pack_host(fb), mesh, max_samples,
+                use_fused=use_fused, max_order=max_order, emit16=emit16,
+                whole_table=whole_table, sub_hint=sub_hint,
+            )
+            return out, n, orig_b
         words, meta = shard_frame_batch(fb, mesh)
         out, n = decode_frames_spmd(
             words, meta, mesh, max_samples,
@@ -472,9 +486,10 @@ def decode_blob(
             blob, offsets, sizes, params, batch_limit, strict
         )
     # Device-side row assembly (ops/pallas/pack_rows): ship the raw
-    # blob once, skip the host word packer entirely.  Single-device
-    # TPU path; the mesh path shards host-packed rows.
-    devpack = DEFAULT.device_pack and mesh is None and _devpack_backend()
+    # blob once, skip the host word packer entirely.  Under a mesh the
+    # word blob replicates across the devices (one broadcast per corpus)
+    # and each shard gathers its own lanes' rows.
+    devpack = DEFAULT.device_pack and _devpack_backend()
     bwords = None
     if devpack:
         from ..codec.framemeta_vec import words_width
@@ -488,6 +503,13 @@ def decode_blob(
             int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
         )
         bwords = blob_words(np.asarray(blob), max_w=max_w)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bwords = jax.device_put(
+                bwords, NamedSharding(mesh, PartitionSpec())
+            )
     outs, ns, sts = [], [], []
     # Bounded async pipeline: the device decodes batch k while the host
     # parses batch k+1 (dispatch is non-blocking; <=2 batches in flight).

@@ -58,15 +58,21 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
-def test_decode_blob_over_mesh():
+@pytest.mark.parametrize("devpack", [True, False])
+def test_decode_blob_over_mesh(devpack, monkeypatch):
     """The production blob pipeline sharded over the 8-device CPU mesh
-    equals the single-device decode bit-for-bit (round 2)."""
+    equals the single-device decode bit-for-bit (round 2) — both with
+    device-side row assembly (the blob replicated, per-shard gathers;
+    round 3) and with host-packed rows."""
     import numpy as np
 
+    from alacnet_tpu import config as cfg
     from alacnet_tpu.codec.cookie import default_cookie
     from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
     from alacnet_tpu.parallel.mesh import make_mesh
     from alacnet_tpu.parallel.pipeline import decode_blob
+
+    monkeypatch.setattr(cfg.DEFAULT, "device_pack", devpack)
 
     params = default_cookie(44100, 16, 2, max_samples_per_frame=128)
     enc = AlacEncoder(params, EncoderConfig(order=4))
