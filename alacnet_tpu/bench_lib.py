@@ -178,73 +178,36 @@ def make_corpus_frames(
     )
 
 
-def _device_slope_time(
-    flags,
-    arrs,
-    frame_samples: int,
-    trials: int = 3,
-    target_s: float = 0.25,
-) -> float:
-    """Per-pass device time for a staged span list, as an in-executable
-    slope: ONE jitted dispatch runs the whole span list K times in a
-    ``fori_loop`` (iterations chained through the accumulator), timed at
-    K=1 and K=K2; ``per_pass = (t(K2) - t(1)) / (K2 - 1)``.
+def _slope_measure(make, call_args, trials: int, target_s: float) -> float:
+    """Shared slope-timing harness: per-pass seconds of one jitted body,
+    as an in-executable slope — ``make(K)`` returns a jitted
+    ``run(salt, *call_args)`` that executes the body K times in a
+    ``fori_loop``; ``per_pass = (t(K2) - t(1)) / (K2 - 1)``.
 
     Why a slope inside one executable: the dev relay serializes each
     executable call at a ~10-25 ms round trip (DESIGN.md §4c), so chains
     of separate dispatches measure that floor, not the kernel — the
     round-2 bench understated multi-span kinds ~2x this way (orders read
     388 while the kernel runs at ~810 Msps).  The fixed per-call cost
-    cancels exactly in the slope.  Lanes are rolled by ``i + salt``
-    on-device: iterations see distinct inputs (no XLA CSE) and no two
-    timed RPCs are byte-identical (the relay memoizes identical calls);
-    the roll itself moves ~2 orders of magnitude less HBM than a decode
-    pass.  ``flags`` is a list of per-span (use_fused, max_order,
-    sub_hint); ``arrs`` interleaves per-span device-resident
-    (words, packed_meta).
+    cancels exactly in the slope.  The salt argument keeps timed RPCs
+    byte-distinct (the relay memoizes identical calls).
     """
-    import jax
-    from jax import lax
-
-    from .ops.frame_decode import decode_frames_packed
-
-    def make(K):
-        @jax.jit
-        def run(salt, *a):
-            def body(i, acc):
-                s = acc
-                for si, (uf, mo, cap) in enumerate(flags):
-                    w = jnp.roll(a[2 * si], i + salt, axis=0)
-                    mv = jnp.roll(a[2 * si + 1], i + salt, axis=0)
-                    out, n = decode_frames_packed(
-                        w, mv, frame_samples,
-                        use_fused=uf, max_order=mo, sub_hint=cap,
-                    )
-                    s = s + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
-                return s
-
-            return lax.fori_loop(
-                0, K, body, jnp.zeros((), jnp.int32)
-            )
-
-        return run
-
     seed = int(np.random.default_rng().integers(1 << 20))
 
     def tmin(run, base):
         best = float("inf")
         for j in range(trials):
             t0 = time.perf_counter()
-            run(jnp.uint32(seed + base + j), *arrs).item()
+            run(jnp.uint32(seed + base + j), *call_args).item()
             best = min(best, time.perf_counter() - t0)
         return best
 
     r1 = make(1)
-    r1(jnp.uint32(seed), *arrs).item()  # compile + warm
+    r1(jnp.uint32(seed), *call_args).item()  # compile + warm
     t1 = tmin(r1, 100)
     K2 = 9
     rk = make(K2)
-    rk(jnp.uint32(seed + 50), *arrs).item()
+    rk(jnp.uint32(seed + 50), *call_args).item()
     tk = tmin(rk, 200)
     per = max(tk - t1, 1e-6) / (K2 - 1)
     if tk - t1 < max(t1, 0.05):
@@ -253,69 +216,146 @@ def _device_slope_time(
         # distinct from the K2=9 executable's).
         K2 = min(129, max(17, int(target_s / max(per, 1e-5)) | 1))
         rk = make(K2)
-        rk(jnp.uint32(seed + 60), *arrs).item()
+        rk(jnp.uint32(seed + 60), *call_args).item()
         tk = tmin(rk, 300)
         per = max(tk - t1, 1e-6) / (K2 - 1)
     return per
 
 
-def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
-    """Per-pass device cost of the on-device row assembly (config
-    device_pack): blob->words (ops/pallas/pack_rows.blob_words) plus
-    per-span row gather (pack_rows), as the same in-executable
-    ``fori_loop`` slope as ``_device_slope_time`` — the relay's
-    per-dispatch floor cancels in the slope.  ``row_spans`` is a list of
-    per-span (ow, nbytes, W) with ow/nbytes already padded to the span's
-    lane count."""
+def _device_slope_time(
+    flags,
+    arrs,
+    frame_samples: int,
+    trials: int = 3,
+    target_s: float = 0.25,
+) -> float:
+    """Per-pass device time for a staged span list: the sum of per-span
+    in-executable ``fori_loop`` slopes (see ``_slope_measure``).
+
+    One slope executable PER SPAN, not one monolith over the whole list:
+    production ``decode_blob`` dispatches each span as its own
+    executable, so per-span slopes time exactly the production unit —
+    and each executable stays small enough that a cold remote compile
+    (minutes over this relay) lands in the persistent compilation cache
+    span by span instead of an all-or-nothing multi-span program.
+
+    Lanes are rolled by a dynamic multiple of the span's lane count —
+    an identity permutation, so every iteration decodes the planner's
+    exact lane blocks (rolling by +1, as round 2 did, shuffles lanes
+    across the kernel's sub*128-lane block boundaries and times
+    worse-than-production block compositions on size-mixed spans:
+    orders read ~750 while per-span dispatch runs ~1750 Msps).  The
+    shift still depends on the loop index, so the body can't be hoisted
+    (XLA cannot prove a dynamic roll is identity); the roll itself
+    moves ~2 orders of magnitude less HBM than a decode pass.
+    ``flags`` is a list of per-span (use_fused, max_order, sub_hint);
+    ``arrs`` interleaves per-span device-resident (words, packed_meta).
+    """
     import jax
     from jax import lax
 
-    from .ops.pallas.pack_rows import _words_from_le, host_le_words, pack_rows
+    from .ops.frame_decode import decode_frames_packed
 
+    total = 0.0
+    for si, (uf, mo, cap) in enumerate(flags):
+        w0, m0 = arrs[2 * si], arrs[2 * si + 1]
+        B = w0.shape[0]
+
+        def make(K, uf=uf, mo=mo, cap=cap, B=B):
+            @jax.jit
+            def run(salt, w0, m0):
+                def body(i, acc):
+                    # ((i+salt) mod 7) * B: a multiple of the lane
+                    # count (identity permutation, production block
+                    # layout) that XLA can't constant-fold; bounded so
+                    # the uint32 product never wraps past a
+                    # non-power-of-2 B.
+                    r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
+                    w = jnp.roll(w0, r, axis=0)
+                    mv = jnp.roll(m0, r, axis=0)
+                    out, n = decode_frames_packed(
+                        w, mv, frame_samples,
+                        use_fused=uf, max_order=mo, sub_hint=cap,
+                    )
+                    return (
+                        acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
+                    )
+
+                return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+
+            return run
+
+        total += _slope_measure(make, (w0, m0), trials, target_s)
+    return total
+
+
+def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
+    """Per-pass device cost of the on-device row assembly (config
+    device_pack): blob->words (ops/pallas/pack_rows.blob_words) plus
+    per-span row gather (pack_rows), as in-executable ``fori_loop``
+    slopes (see ``_slope_measure``) — the relay's per-dispatch floor
+    cancels in each slope.  Production ``decode_blob`` runs blob->words
+    once per batch and one pack dispatch per span, so the cost is timed
+    in exactly those units: one slope for the byteswap, one per span
+    (keeping each executable small enough to land in the compilation
+    cache independently).  ``row_spans`` is a list of per-span
+    (ow, nbytes, W) with ow/nbytes already padded to the span's lane
+    count."""
+    import jax
+    from jax import lax
+
+    from .ops.pallas.pack_rows import (
+        _words_from_le, host_le_words, pack_rows, pack_rows_xla,
+    )
+
+    # Same backend selection as production dispatch_frame_batch.
+    pack = pack_rows if jax.default_backend() == "tpu" else pack_rows_xla
     w32, tail_be, nq = host_le_words(blob_u8, max_w)
     blob_d = jnp.asarray(w32)
     tail_d = jnp.uint32(tail_be)
-    arrs: list = []
-    for ow, nb, _ in row_spans:
-        arrs.append(jnp.asarray(ow))
-        arrs.append(jnp.asarray(nb))
-    jnp.sum(jnp.stack([jnp.sum(a) for a in arrs])).item()  # force H2D
+    nblob = int(blob_d.shape[0])
 
-    def make(K):
+    def make_words(K):
         @jax.jit
-        def run(salt, blob, *a):
+        def run(salt, blob):
             def body(i, acc):
-                bw = _words_from_le(blob, tail_d, nq)
-                s = acc + bw[0, 0].astype(jnp.int32)
-                for si, (_, _, W) in enumerate(row_spans):
-                    ow = jnp.roll(a[2 * si], i + salt)
-                    nb = a[2 * si + 1]
-                    rows = pack_rows(bw, ow, nb, W)
-                    s = s + rows[-1, -1].astype(jnp.int32)
-                return s
+                # Identity-multiple roll (see _device_slope_time): the
+                # body depends on i so it can't be hoisted, and the
+                # byteswap cost is unchanged.
+                r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(nblob)
+                bw = _words_from_le(jnp.roll(blob, r), tail_d, nq)
+                return acc + bw[0, 0].astype(jnp.int32)
 
             return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
 
         return run
 
-    seed = int(np.random.default_rng().integers(1 << 20))
+    total = _slope_measure(make_words, (blob_d,), trials, 0.25)
 
-    def tmin(run, base):
-        best = float("inf")
-        for j in range(trials):
-            t0 = time.perf_counter()
-            run(jnp.uint32(seed + base + j), blob_d, *arrs).item()
-            best = min(best, time.perf_counter() - t0)
-        return best
+    bw_d = _words_from_le(blob_d, tail_d, nq)
+    bw_d.block_until_ready()
+    for ow, nb, W in row_spans:
+        ow_d, nb_d = jnp.asarray(ow), jnp.asarray(nb)
+        Bs = int(ow_d.shape[0])
+        jnp.sum(ow_d).item()  # force H2D through the relay
 
-    r1 = make(1)
-    r1(jnp.uint32(seed), blob_d, *arrs).item()
-    t1 = tmin(r1, 100)
-    K2 = 9
-    rk = make(K2)
-    rk(jnp.uint32(seed + 50), blob_d, *arrs).item()
-    tk = tmin(rk, 200)
-    return max(tk - t1, 1e-6) / (K2 - 1)
+        def make(K, W=W, Bs=Bs):
+            @jax.jit
+            def run(salt, bw, ow0, nb0):
+                def body(i, acc):
+                    # Identity-multiple roll, as in _device_slope_time:
+                    # keeps the pack kernel's TB-lane block composition
+                    # exactly what production dispatch sees.
+                    r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(Bs)
+                    rows = pack(bw, jnp.roll(ow0, r), nb0, W)
+                    return acc + rows[-1, -1].astype(jnp.int32)
+
+                return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+
+            return run
+
+        total += _slope_measure(make, (bw_d, ow_d, nb_d), trials, 0.25)
+    return total
 
 
 def run_benchmark(

@@ -83,6 +83,50 @@ def check_kind(kind: str, batch: int, frame_samples: int) -> dict:
     }
 
 
+def check_devpack(batch: int, frame_samples: int, seed: int) -> dict:
+    """decode_blob with device-side row assembly (config.device_pack,
+    ops/pallas/pack_rows compiled on hardware) vs host-packed rows:
+    identical PCM over a mixed-kind corpus — pins the pack kernel's
+    Mosaic lowering (DMA windows, log2 shifter, tail mask) every round."""
+    from alacnet_tpu import config as cfg
+    from alacnet_tpu.bench_lib import _mixed_pool
+    from alacnet_tpu.parallel.pipeline import decode_blob
+
+    pool, params = _mixed_pool(frame_samples, 16, seed=seed)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(
+        np.repeat(np.arange(len(pool)), -(-batch // len(pool)))[:batch]
+    )
+    payloads = [pool[i] for i in idx]
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
+    t0 = time.time()
+    saved = cfg.DEFAULT.device_pack
+    results = {}
+    try:
+        for flag in (True, False):
+            cfg.DEFAULT.device_pack = flag
+            results[flag] = decode_blob(
+                blob, offsets, sizes, params, frame_samples, batch_limit=batch
+            )
+    finally:
+        cfg.DEFAULT.device_pack = saved
+    out_on, n_on, st_on = results[True]
+    out_off, n_off, st_off = results[False]
+    ok = (
+        not st_on.any()
+        and not st_off.any()
+        and np.array_equal(n_on, n_off)
+        and np.array_equal(out_on, out_off)
+    )
+    return {
+        "parity_ok": bool(ok),
+        "frames": int(batch),
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def check_fuzz(count: int, seed: int) -> dict:
     """Compiled fused == XLA == scalar oracle on random-body payloads."""
     from tests.test_fuzz_differential import S as FS
@@ -149,6 +193,11 @@ def main() -> int:
         record["kinds"][kind] = r
         all_ok = all_ok and r["parity_ok"]
         print(f"{kind}: {r}")
+    record["devpack"] = check_devpack(
+        args.batch, args.frame_samples, args.seed
+    )
+    all_ok = all_ok and record["devpack"]["parity_ok"]
+    print("devpack:", record["devpack"])
     record["fuzz"] = check_fuzz(args.fuzz, args.seed)
     all_ok = all_ok and record["fuzz"]["parity_ok"]
     print("fuzz:", record["fuzz"])
