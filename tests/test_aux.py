@@ -108,6 +108,27 @@ class TestBenchHarness:
         assert r["parity_ok"] is True
         assert r["batch_frames"] == 8
 
+    def test_run_e2e_benchmark_smoke(self):
+        """The mixed-corpus pipeline bench (per-span slopes, pack
+        slopes, overlapped wall + relay correction) end to end on a
+        tiny CPU config: every published field present and sane."""
+        from alacnet_tpu.bench_lib import run_e2e_benchmark
+
+        r = run_e2e_benchmark(
+            total_frames=48, frame_samples=128, batch_limit=24, repeats=1
+        )
+        assert r["e2e_msamples_per_s"] > 0
+        assert r["e2e_stage_bound_msps"] > 0
+        assert r["e2e_measured_overlap_msps"] > 0
+        assert r["overlap_dispatches"] > 0
+        assert r["e2e_total_frames"] == 48
+        # Publish rule: headline is the bound only when the measured
+        # overlapped wall supports it to within 25%.
+        if r["overlap_efficiency"] >= 0.75:
+            assert r["e2e_msamples_per_s"] == r["e2e_stage_bound_msps"]
+        else:
+            assert r["e2e_msamples_per_s"] == r["e2e_measured_overlap_msps"]
+
 
 class TestFuzz:
     def test_random_garbage_frames_never_crash(self, rng):
