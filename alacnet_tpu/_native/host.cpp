@@ -403,10 +403,27 @@ void alac_pack_symbol_frames(
       const uint32_t* pv32 = v32 + lane * S * 2;
       const int8_t* pw = wid + lane * S * 4;
       for (int64_t i = 0; i < n[f]; ++i) {
-        w.write(pv16[2 * i], uint8_t(pw[4 * i]));
-        w.write(pv32[2 * i], uint8_t(pw[4 * i + 1]));
-        w.write(pv16[2 * i + 1], uint8_t(pw[4 * i + 2]));
-        w.write(pv32[2 * i + 1], uint8_t(pw[4 * i + 3]));
+        const int w0 = uint8_t(pw[4 * i]);
+        const int w1 = uint8_t(pw[4 * i + 1]);
+        const int w2 = uint8_t(pw[4 * i + 2]);
+        const int w3 = uint8_t(pw[4 * i + 3]);
+        const int total = w0 + w1 + w2 + w3;
+        if (total <= 32) {
+          // Typical symbol (short unary + k-bit remainder): fold the
+          // four fields into ONE accumulator push instead of four
+          // mask/shift/store sequences.  Each width <= 32 here, so the
+          // uint64 masks are well-defined.
+          uint64_t v = pv16[2 * i] & ((uint64_t(1) << w0) - 1);
+          v = (v << w1) | (pv32[2 * i] & ((uint64_t(1) << w1) - 1));
+          v = (v << w2) | (pv16[2 * i + 1] & ((uint64_t(1) << w2) - 1));
+          v = (v << w3) | (pv32[2 * i + 1] & ((uint64_t(1) << w3) - 1));
+          w.push(uint32_t(v), total);
+        } else {
+          w.write(pv16[2 * i], w0);
+          w.write(pv32[2 * i], w1);
+          w.write(pv16[2 * i + 1], w2);
+          w.write(pv32[2 * i + 1], w3);
+        }
       }
     }
     end_bits[f] = w.finish();
