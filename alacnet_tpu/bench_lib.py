@@ -768,6 +768,15 @@ def run_e2e_benchmark(
         bw = (b2 - b1) / max(t2 - t1, 1e-6)
         return rtt_unit, bw
 
+    # Standalone host stage FIRST — before any device traffic exists in
+    # the process.  Measured after dispatch, the relay's background
+    # threads (lazy H2D drains, RPC servicing) contend with the host
+    # stage for this box's single core and inflate it ~5x (55 ms read
+    # vs 12 ms clean for the same corpora); a production host runs the
+    # host stage on its own cores, so the clean number is the one the
+    # pipeline bound should use.  The dispatch-concurrent 1-core cost
+    # still rides along as host_inline_s.
+    host_s = host_stage_run([build(repeats + 3 + r) for r in range(3)])
     # Warm-up: compiles every (bucket-width, order) executable.
     timed_run(*build(0))
     best_dt, total = float("inf"), 0
@@ -779,7 +788,6 @@ def run_e2e_benchmark(
         if dt < best_dt:
             best_dt, total = dt, t
     device_s = staged_device_run(build(repeats + 2))
-    host_s = host_stage_run([build(repeats + 3 + r) for r in range(3)])
     ov_total, ov_wall, ov_nd, ov_bytes = min(
         (overlapped_run(*build(20 + r)) for r in range(2)),
         key=lambda x: x[1],
