@@ -271,12 +271,95 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
     )
 
 
+def _enc_device_pack() -> bool:
+    """Opt-in device-side frame packing (ops/encode.pack_frames_device):
+    the coded bytes leave the chip instead of ~13 B/sample of chunk
+    planes, and the host pack stage drops to header-OR + slicing.
+    Off by default until measured on hardware (cf. rice_emit's recorded
+    negative result — 'obviously device-friendly' encode stages have
+    lost to their host/XLA baselines here before)."""
+    import os
+
+    return os.environ.get("ALAC_ENC_DEVICE_PACK", "0") == "1"
+
+
+#: Device-pack output rows are bucketed to multiples of this many
+#: 32-bit words so jit recompiles are bounded across chunk sizes.
+_PACK_STRIDE_STEP = 256
+
+
+def _pack_device(prep, planes, timings: dict | None):
+    """Device-pack variant of :func:`_pack`: the chunk planes stay on
+    device; :func:`ops.encode.pack_frames_device` assembles the frame
+    bodies and the host only ORs the ragged header fields into each
+    row's zeroed prefix and slices payloads."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops.encode import pack_frames_device
+
+    _t0 = _time.perf_counter()
+    c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
+    bits = np.asarray(bits_d).astype(np.int64)
+    if bool(np.asarray(bad_d).any()):
+        raise RuntimeError("encoder state desync: raw < 0")
+    F = prep["F"]
+    total_bits = prep["hbits"] + bits[:F] + bits[F:]
+    need = int(total_bits.max()) // 32 + 2 if F else 2
+    stride_words = -(-need // _PACK_STRIDE_STEP) * _PACK_STRIDE_STEP
+    rows_d, end_d = pack_frames_device(
+        jnp.asarray(c0_d), jnp.asarray(c1_d), jnp.asarray(c2_d),
+        jnp.asarray(ws_d),
+        jnp.asarray(prep["ns_f"].astype(np.int32)),
+        jnp.asarray(prep["stereo_f"]),
+        jnp.asarray(prep["hbits"].astype(np.int32)),
+        stride_words=stride_words,
+    )
+    rows = np.asarray(rows_d).copy()
+    end_bits = np.asarray(end_d)
+    _t1 = _time.perf_counter()
+    hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
+    lib = native.get_lib()
+    payloads = []
+    for f in range(F):
+        nf = int(h_off[f + 1] - h_off[f])
+        if lib is not None:
+            lib.alac_pack_bits(
+                np.ascontiguousarray(hv[h_off[f]:h_off[f + 1]], np.uint32),
+                np.ascontiguousarray(hw[h_off[f]:h_off[f + 1]], np.uint8),
+                np.int64(nf), rows[f], np.int64(0),
+            )
+        else:
+            from .bitwriter import BitWriter
+
+            w = BitWriter()
+            for v, wd in zip(
+                hv[h_off[f]:h_off[f + 1]].tolist(),
+                hw[h_off[f]:h_off[f + 1]].tolist(),
+            ):
+                w.write(int(v), int(wd))
+            hb = np.frombuffer(w.getvalue(), np.uint8)
+            rows[f, : hb.size] |= hb  # body prefix is zeroed past hbits
+        payloads.append(rows[f, : -(-int(end_bits[f]) // 8)].tobytes())
+    if timings is not None:
+        timings["emit_wait_s"] = timings.get("emit_wait_s", 0.0) + _t1 - _t0
+        timings["plane_bytes"] = timings.get("plane_bytes", 0) + rows.nbytes
+        timings["pack_s"] = (
+            timings.get("pack_s", 0.0) + _time.perf_counter() - _t1
+        )
+    return payloads
+
+
 def _pack(prep, planes, timings: dict | None):
     """Read back the chunk planes and assemble payload bytes."""
     import time as _time
 
     from .. import native
 
+    if _enc_device_pack() and prep["extra_plane"] is None:
+        return _pack_device(prep, planes, timings)
     _t0 = _time.perf_counter()
     c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
     c0 = np.asarray(c0_d)

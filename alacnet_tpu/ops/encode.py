@@ -388,3 +388,124 @@ def encode_stages_pcm(
         ]
     )
     return encode_stages(sig, n, lp, rp, num_samples, max_order=max_order)
+
+# ---------------------------------------------------------------------------
+# Device-side frame packing (round 3): the coded BYTES leave the chip.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("stride_words", "K"))
+def pack_frames_device(
+    c0, c1, c2, ws, n, stereo, hbits, stride_words: int, K: int = 34
+):
+    """Assemble whole coded frame BODIES on device from the merged
+    96-bit sample chunks — the encode mirror of decode's device-side
+    row assembly (ops/pallas/pack_rows): the host packer leaves the
+    pipeline and the D2H drops from ~13 B/sample of chunk planes to the
+    coded bytes themselves.
+
+    Bit packing is a prefix-sum problem, not a serial one: each output
+    32-bit word's content depends only on which symbols overlap its bit
+    range.  Three vector phases, no scan:
+
+      1. fold the chunk planes frame-major (channel A's symbols then
+         B's — the bitstream concatenation order, AlacFile.cs:643,653)
+         and COMPACT away zero-width slots (zero-run-compressed samples
+         emit nothing; without compaction a silence run would starve
+         the bounded gather window below);
+      2. ``ends = hbits + cumsum(widths)`` — every symbol's absolute
+         bit range, with the whole body pre-offset by the frame's
+         header bit count so the host can OR the ragged header fields
+         into the zeroed prefix without shifting the body;
+      3. for every output word j: ``searchsorted(ends, 32j)`` finds the
+         first overlapping symbol; OR together the next ``K``
+         candidates' in-window bits (a 32-bit window intersects at most
+         32/min_width+2 <= 34 post-compaction symbols, each >= 1 bit).
+
+    Inputs: ``c0,c1,c2`` (B, S) uint32 right-aligned pre-masked chunks,
+    ``ws`` (B, S) int8 widths (lane f = channel A of frame f, lane F+f
+    = channel B); ``n`` (F,) valid samples; ``stereo`` (F,) bool;
+    ``hbits`` (F,) int32 header bit counts.  Returns
+    (rows (F, stride_words*4) uint8 — big-endian bit stream, header
+    region zeroed — and end_bits (F,) int32).
+
+    The extra-bits plane (ub != 0) is NOT packed here; callers keep
+    those frames on the host packer.
+    """
+    F, S = ws.shape[0] // 2, ws.shape[1]
+    NS = 2 * S
+    samp = jnp.arange(S, dtype=I32)[None, :]
+    mA = samp < n[:, None]
+    mB = mA & stereo[:, None]
+
+    def fold(plane, dtype):
+        a = jnp.where(mA, plane[:F], 0).astype(dtype)
+        b = jnp.where(mB, plane[F:], 0).astype(dtype)
+        return jnp.concatenate([a, b], axis=1)
+
+    ws_f = fold(ws.astype(I32), I32)
+    mask = ws_f > 0
+    # Compact real symbols to the front; dropped slots scatter past the
+    # row end (mode='drop').  Indices are unique by construction.
+    dest = jnp.where(mask, jnp.cumsum(mask, axis=1) - 1, NS)
+    fidx = jnp.broadcast_to(jnp.arange(F, dtype=I32)[:, None], (F, NS))
+
+    def compact(plane):
+        return (
+            jnp.zeros((F, NS), plane.dtype)
+            .at[fidx, dest]
+            .set(plane, mode="drop", unique_indices=True)
+        )
+
+    cw = compact(ws_f)
+    a0 = compact(fold(c0, U32))
+    a1 = compact(fold(c1, U32))
+    a2 = compact(fold(c2, U32))
+
+    ends = hbits[:, None] + jnp.cumsum(cw, axis=1)
+    starts = ends - cw
+    end_bits = ends[:, -1]
+
+    lo_row = jnp.arange(stride_words, dtype=I32) * 32
+    first = jax.vmap(
+        lambda e: jnp.searchsorted(e, lo_row, side="right")
+    )(ends).astype(I32)
+    lo = lo_row[None, :]
+    hi = lo + 32
+
+    acc = jnp.zeros((F, stride_words), U32)
+    for t in range(K):
+        k = first + t
+        kc = jnp.minimum(k, NS - 1)
+        st = jnp.take_along_axis(starts, kc, axis=1)
+        en = jnp.take_along_axis(ends, kc, axis=1)
+        v0 = jnp.take_along_axis(a0, kc, axis=1)
+        v1 = jnp.take_along_axis(a1, kc, axis=1)
+        v2 = jnp.take_along_axis(a2, kc, axis=1)
+        live = (k < NS) & (st < hi) & (en > lo) & (en > st)
+        s = en - hi  # >= 0: field extends past the window; < 0: ends inside
+        sr = jnp.maximum(s, 0)
+        right = jnp.where(
+            sr < 32,
+            _shr_s(v2, sr) | _shl_s(v1, 32 - sr),
+            jnp.where(
+                sr < 64,
+                _shr_s(v1, sr - 32) | _shl_s(v0, 64 - sr),
+                _shr_s(v0, jnp.minimum(sr - 64, 32)),
+            ),
+        )
+        left = _shl_s(v2, jnp.maximum(-s, 0))
+        win = jnp.where(s >= 0, right, left)
+        acc = acc | jnp.where(live, win, jnp.zeros_like(win))
+
+    # Big-endian byte order: the word's MSB is the stream's earliest bit.
+    be = (
+        (acc >> 24)
+        | ((acc >> 8) & 0xFF00)
+        | ((acc << 8) & 0xFF0000)
+        | (acc << 24)
+    )
+    rows = jax.lax.bitcast_convert_type(be, jnp.uint8).reshape(
+        F, stride_words * 4
+    )
+    return rows, end_bits

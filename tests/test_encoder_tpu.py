@@ -179,3 +179,35 @@ def test_fused_rice_emit_matches_scan(rng):
             np.asarray(src_f)[m], np.asarray(src_s)[m]
         )
     np.testing.assert_array_equal(np.asarray(bad_f), np.asarray(bad_s))
+
+
+@pytest.mark.parametrize(
+    "name,bits,ch,cfg,kind",
+    [c for c in CASES if c[3].uncompressed_bytes == 0],
+    ids=[c[0] for c in CASES if c[3].uncompressed_bytes == 0],
+)
+def test_device_pack_byte_equal(name, bits, ch, cfg, kind, rng, monkeypatch):
+    """ALAC_ENC_DEVICE_PACK=1: frame bodies assembled on device
+    (ops/encode.pack_frames_device), host only ORs headers — payloads
+    byte-identical to the host packer across every ub=0 case
+    (silence/zero-run compaction, escapes, mono, partial frames)."""
+    monkeypatch.setenv("ALAC_ENC_DEVICE_PACK", "1")
+    params = default_cookie(44100, bits, ch, max_samples_per_frame=S)
+    pcm = _signal(kind, bits, ch, rng)
+    frames = [pcm[i : i + S] for i in range(0, pcm.shape[0], S)]
+    want = _host_payloads(frames, params, cfg)
+    got = encode_frames_tpu(frames, params, cfg)
+    assert got == want
+
+
+def test_device_pack_extrabits_falls_back(rng, monkeypatch):
+    """ub != 0 keeps the host packer under the flag (the device packer
+    does not cover the extra-bits plane) — still byte-identical."""
+    monkeypatch.setenv("ALAC_ENC_DEVICE_PACK", "1")
+    cfg = EncoderConfig(order=4, uncompressed_bytes=1)
+    params = default_cookie(44100, 24, 2, max_samples_per_frame=S)
+    pcm = _signal("music", 24, 2, rng)
+    frames = [pcm[i : i + S] for i in range(0, pcm.shape[0], S)]
+    assert encode_frames_tpu(frames, params, cfg) == _host_payloads(
+        frames, params, cfg
+    )
