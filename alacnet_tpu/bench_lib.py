@@ -1002,6 +1002,13 @@ def run_encode_benchmark(
         pack_s = min(pack_s, time.perf_counter() - t0)
     coded = sum(len(p) for p in payloads)
 
+    # -- device-pack variant (ALAC_ENC_DEVICE_PACK): slope-measure the
+    # pack_frames_device kernel on the staged planes and the residual
+    # host cost (header-OR + slicing on prefetched rows); the variant's
+    # device stage runs stages+pack sequentially, so its rate is the
+    # harmonic combination. --
+    devpack_fields = _encode_devpack_stage(prep, planes, Fe, S, repeats)
+
     # -- relay-inclusive pipelined wall (encode_frames_tpu end to end) --
     t0 = time.perf_counter()
     encode_frames_tpu(arr, params, cfg)
@@ -1038,4 +1045,99 @@ def run_encode_benchmark(
         "encode_tunnel_wall_msps": round(e2e_msps, 3),
         "encode_ratio": round(coded / (Fe * S * 2 * (bits // 8)), 4),
         "encode_frames": F,
+        **devpack_fields,
     }
+
+
+def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
+    """Stage rates for the ALAC_ENC_DEVICE_PACK variant: the pack
+    kernel's per-pass device cost (in-executable slope, as everywhere)
+    and the residual host cost (header-OR + payload slicing over
+    prefetched rows).  Rides along in the bench record so the flag's
+    hardware verdict is captured without a separate harness."""
+    import jax
+    from jax import lax
+
+    from .codec.encoder_tpu import _PACK_STRIDE_STEP
+    from .ops.encode import pack_frames_device
+    from . import native
+
+    try:
+        c0d, c1d, c2d, wsd, bits_d, _bad = planes
+        bits64 = np.asarray(bits_d).astype(np.int64)
+        F = prep["F"]
+        total_bits = prep["hbits"] + bits64[:F] + bits64[F:]
+        need = int(total_bits.max()) // 32 + 2
+        stride = -(-need // _PACK_STRIDE_STEP) * _PACK_STRIDE_STEP
+        ns_d = jnp.asarray(prep["ns_f"].astype(np.int32))
+        st_d = jnp.asarray(prep["stereo_f"])
+        hb_d = jnp.asarray(prep["hbits"].astype(np.int32))
+        c0d, c1d, c2d, wsd = (
+            jnp.asarray(c0d), jnp.asarray(c1d), jnp.asarray(c2d),
+            jnp.asarray(wsd),
+        )
+        B = int(wsd.shape[0])
+
+        def make(K):
+            @jax.jit
+            def run(salt, c0, c1, c2, ws, n, st, hb):
+                def body(i, acc):
+                    # Identity-multiple rolls (cf. _device_slope_time):
+                    # lane-plane arrays roll by multiples of B, frame
+                    # arrays by multiples of F — both identity.
+                    rB = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
+                    rF = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B // 2)
+                    rows, eb = pack_frames_device(
+                        jnp.roll(c0, rB, axis=0), jnp.roll(c1, rB, axis=0),
+                        jnp.roll(c2, rB, axis=0), jnp.roll(ws, rB, axis=0),
+                        jnp.roll(n, rF), jnp.roll(st, rF), jnp.roll(hb, rF),
+                        stride_words=stride,
+                    )
+                    return (
+                        acc + jnp.sum(eb) + rows[-1, -1].astype(jnp.int32)
+                    )
+
+                return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+
+            return run
+
+        pack_dev_s = _slope_measure(
+            make, (c0d, c1d, c2d, wsd, ns_d, st_d, hb_d),
+            max(2, repeats), 0.25,
+        )
+
+        # Residual host stage: header OR + slicing on prefetched rows.
+        rows_d, end_d = pack_frames_device(
+            c0d, c1d, c2d, wsd, ns_d, st_d, hb_d, stride_words=stride
+        )
+        rows0 = np.asarray(rows_d)
+        end_bits = np.asarray(end_d)
+        hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
+        lib = native.get_lib()
+        host_s = float("inf")
+        for _ in range(max(2, repeats) + 1):
+            rows = rows0.copy()
+            t0 = time.perf_counter()
+            for f in range(F):
+                if lib is not None:
+                    lib.alac_pack_bits(
+                        np.ascontiguousarray(
+                            hv[h_off[f]:h_off[f + 1]], np.uint32
+                        ),
+                        np.ascontiguousarray(
+                            hw[h_off[f]:h_off[f + 1]], np.uint8
+                        ),
+                        np.int64(h_off[f + 1] - h_off[f]),
+                        rows[f], np.int64(0),
+                    )
+                rows[f, : -(-int(end_bits[f]) // 8)].tobytes()
+            host_s = min(host_s, time.perf_counter() - t0)
+        return {
+            "encode_devpack_device_msps": round(Fe * S / pack_dev_s / 1e6, 3),
+            "encode_devpack_host_msps": round(Fe * S / host_s / 1e6, 3),
+            "encode_devpack_d2h_bytes_per_sample": round(
+                rows0.nbytes / (Fe * S), 2
+            ),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic ride-along
+        return {"encode_devpack_error": repr(e)}
