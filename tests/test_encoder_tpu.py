@@ -211,3 +211,74 @@ def test_device_pack_extrabits_falls_back(rng, monkeypatch):
     assert encode_frames_tpu(frames, params, cfg) == _host_payloads(
         frames, params, cfg
     )
+
+
+def test_pack_frames_device_adversarial_widths(rng):
+    """pack_frames_device against a pure BitWriter on synthetic chunk
+    planes: dense 1-bit symbol runs (33+ symbols inside one 32-bit
+    output word — the K=34 gather window's worst case), zero-width
+    gaps, 96-bit chunks spanning words, mono and partial frames."""
+    import jax.numpy as jnp
+
+    from alacnet_tpu.codec.bitwriter import BitWriter
+    from alacnet_tpu.ops.encode import pack_frames_device
+
+    F, S2 = 6, 160
+    n = np.array([160, 160, 97, 160, 1, 160], np.int32)
+    stereo = np.array([1, 1, 0, 1, 1, 0], bool)
+    hbits = np.array([61, 3, 32, 17, 80, 1], np.int32)
+    B = 2 * F
+    ws = np.zeros((B, S2), np.int8)
+    # lane styles: dense 1-bit, mixed, wide 96-bit, sparse with gaps
+    ws[0] = 1                                  # 160 one-bit symbols
+    ws[1] = rng.integers(0, 12, S2)
+    ws[2, ::4] = np.int8(81)                   # max merged width
+    ws[3] = rng.integers(0, 3, S2)
+    ws[4, 0] = 33
+    ws[5] = rng.integers(0, 96, S2) % 33
+    for lane in range(6, B):
+        ws[lane] = rng.integers(0, 14, S2)
+    c0 = np.zeros((B, S2), np.uint32)
+    c1 = np.zeros((B, S2), np.uint32)
+    c2 = np.zeros((B, S2), np.uint32)
+    r = rng.integers(0, 1 << 32, (3, B, S2), dtype=np.uint64).astype(np.uint32)
+    w = ws.astype(np.int64)
+    c2[:] = np.where(w >= 32, r[2], r[2] & ((1 << np.minimum(w, 31)) - 1))
+    wm = np.clip(w - 32, 0, 32)
+    c1[:] = np.where(wm >= 32, r[1], r[1] & ((1 << np.minimum(wm, 31)) - 1))
+    wh = np.clip(w - 64, 0, 32)
+    c0[:] = np.where(wh >= 32, r[0], r[0] & ((1 << np.minimum(wh, 31)) - 1))
+
+    total = hbits.astype(np.int64).copy()
+    for f in range(F):
+        lanes = [f, F + f] if stereo[f] else [f]
+        for lane in lanes:
+            total[f] += int(w[lane, : n[f]].sum())
+    stride_words = int(total.max()) // 32 + 2
+    rows, end_bits = pack_frames_device(
+        jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(ws),
+        jnp.asarray(n), jnp.asarray(stereo), jnp.asarray(hbits),
+        stride_words=stride_words,
+    )
+    rows, end_bits = np.asarray(rows), np.asarray(end_bits)
+    for f in range(F):
+        bw = BitWriter()
+        rem = int(hbits[f])  # zeroed header prefix
+        while rem > 0:
+            bw.write(0, min(rem, 32))
+            rem -= min(rem, 32)
+        for lane in ([f, F + f] if stereo[f] else [f]):
+            for i in range(int(n[f])):
+                b = int(w[lane, i])
+                if b <= 32:
+                    bw.write(int(c2[lane, i]), b)
+                elif b <= 64:
+                    bw.write(int(c1[lane, i]), b - 32)
+                    bw.write(int(c2[lane, i]), 32)
+                else:
+                    bw.write(int(c0[lane, i]), b - 64)
+                    bw.write(int(c1[lane, i]), 32)
+                    bw.write(int(c2[lane, i]), 32)
+        assert int(end_bits[f]) == bw.bitpos, f"frame {f} end_bits"
+        ref = bw.getvalue()
+        assert rows[f, : len(ref)].tobytes() == ref, f"frame {f} bytes"
