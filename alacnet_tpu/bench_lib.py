@@ -912,7 +912,9 @@ def run_encode_benchmark(
     import jax
 
     from .codec.encoder import AlacEncoder
-    from .codec.encoder_tpu import _dispatch, _pack, _prep, encode_frames_tpu
+    from .codec.encoder_tpu import (
+        _dispatch, _pack_host, _prep, encode_frames_tpu,
+    )
     from .ops.encode import RiceEncParams, encode_stages_pcm
     from .ops.lpc import LpcParams, reverse_coefs
 
@@ -998,7 +1000,9 @@ def run_encode_benchmark(
     pack_s = float("inf")
     for _ in range(max(2, repeats) + 1):
         t0 = time.perf_counter()
-        payloads = _pack(prep, host_planes, None)
+        # The host packer explicitly (_pack would route to the device
+        # variant under ALAC_ENC_DEVICE_PACK and destroy this baseline).
+        payloads = _pack_host(prep, host_planes, None)
         pack_s = min(pack_s, time.perf_counter() - t0)
     coded = sum(len(p) for p in payloads)
 
@@ -1058,9 +1062,8 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
     import jax
     from jax import lax
 
-    from .codec.encoder_tpu import _PACK_STRIDE_STEP
+    from .codec.encoder_tpu import _PACK_STRIDE_STEP, _or_header
     from .ops.encode import pack_frames_device
-    from . import native
 
     try:
         c0d, c1d, c2d, wsd, bits_d, _bad = planes
@@ -1113,23 +1116,18 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
         rows0 = np.asarray(rows_d)
         end_bits = np.asarray(end_d)
         hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
-        lib = native.get_lib()
         host_s = float("inf")
         for _ in range(max(2, repeats) + 1):
             rows = rows0.copy()
             t0 = time.perf_counter()
             for f in range(F):
-                if lib is not None:
-                    lib.alac_pack_bits(
-                        np.ascontiguousarray(
-                            hv[h_off[f]:h_off[f + 1]], np.uint32
-                        ),
-                        np.ascontiguousarray(
-                            hw[h_off[f]:h_off[f + 1]], np.uint8
-                        ),
-                        np.int64(h_off[f + 1] - h_off[f]),
-                        rows[f], np.int64(0),
-                    )
+                # Same helper _pack_device runs (incl. the BitWriter
+                # fallback when the native lib is missing, so the
+                # published rate describes the real path).
+                _or_header(
+                    rows[f], hv[h_off[f]:h_off[f + 1]],
+                    hw[h_off[f]:h_off[f + 1]],
+                )
                 rows[f, : -(-int(end_bits[f]) // 8)].tobytes()
             host_s = min(host_s, time.perf_counter() - t0)
         return {

@@ -288,6 +288,23 @@ def _enc_device_pack() -> bool:
 _PACK_STRIDE_STEP = 256
 
 
+def _or_header(row, hv_f, hw_f) -> None:
+    """OR a frame's ragged header fields into its row's zeroed prefix
+    (the device-packed body starts at bit hbits, so header and body bit
+    ranges are disjoint and OR-compose; native alac_pack_bits and the
+    BitWriter fallback both OR rather than overwrite)."""
+    from .. import native
+
+    if native.pack_bits_native(hv_f, hw_f, row, 0) is None:
+        from .bitwriter import BitWriter
+
+        w = BitWriter()
+        for v, wd in zip(hv_f.tolist(), hw_f.tolist()):
+            w.write(int(v), int(wd))
+        hb = np.frombuffer(w.getvalue(), np.uint8)
+        row[: hb.size] |= hb
+
+
 def _pack_device(prep, planes, timings: dict | None):
     """Device-pack variant of :func:`_pack`: the chunk planes stay on
     device; :func:`ops.encode.pack_frames_device` assembles the frame
@@ -297,7 +314,6 @@ def _pack_device(prep, planes, timings: dict | None):
 
     import jax.numpy as jnp
 
-    from .. import native
     from ..ops.encode import pack_frames_device
 
     _t0 = _time.perf_counter()
@@ -321,27 +337,9 @@ def _pack_device(prep, planes, timings: dict | None):
     end_bits = np.asarray(end_d)
     _t1 = _time.perf_counter()
     hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
-    lib = native.get_lib()
     payloads = []
     for f in range(F):
-        nf = int(h_off[f + 1] - h_off[f])
-        if lib is not None:
-            lib.alac_pack_bits(
-                np.ascontiguousarray(hv[h_off[f]:h_off[f + 1]], np.uint32),
-                np.ascontiguousarray(hw[h_off[f]:h_off[f + 1]], np.uint8),
-                np.int64(nf), rows[f], np.int64(0),
-            )
-        else:
-            from .bitwriter import BitWriter
-
-            w = BitWriter()
-            for v, wd in zip(
-                hv[h_off[f]:h_off[f + 1]].tolist(),
-                hw[h_off[f]:h_off[f + 1]].tolist(),
-            ):
-                w.write(int(v), int(wd))
-            hb = np.frombuffer(w.getvalue(), np.uint8)
-            rows[f, : hb.size] |= hb  # body prefix is zeroed past hbits
+        _or_header(rows[f], hv[h_off[f]:h_off[f + 1]], hw[h_off[f]:h_off[f + 1]])
         payloads.append(rows[f, : -(-int(end_bits[f]) // 8)].tobytes())
     if timings is not None:
         timings["emit_wait_s"] = timings.get("emit_wait_s", 0.0) + _t1 - _t0
@@ -353,13 +351,18 @@ def _pack_device(prep, planes, timings: dict | None):
 
 
 def _pack(prep, planes, timings: dict | None):
+    """Assemble payload bytes (device-pack variant under the flag)."""
+    if _enc_device_pack() and prep["extra_plane"] is None:
+        return _pack_device(prep, planes, timings)
+    return _pack_host(prep, planes, timings)
+
+
+def _pack_host(prep, planes, timings: dict | None):
     """Read back the chunk planes and assemble payload bytes."""
     import time as _time
 
     from .. import native
 
-    if _enc_device_pack() and prep["extra_plane"] is None:
-        return _pack_device(prep, planes, timings)
     _t0 = _time.perf_counter()
     c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
     c0 = np.asarray(c0_d)

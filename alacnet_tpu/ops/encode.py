@@ -451,10 +451,14 @@ def pack_frames_device(
     fidx = jnp.broadcast_to(jnp.arange(F, dtype=I32)[:, None], (F, NS))
 
     def compact(plane):
+        # NOT unique_indices: every dropped slot shares dest == NS, and
+        # XLA's uniqueness promise is undefined for duplicates even
+        # when they fall out of bounds — a TPU lowering may exploit it
+        # before bounds-dropping.
         return (
             jnp.zeros((F, NS), plane.dtype)
             .at[fidx, dest]
-            .set(plane, mode="drop", unique_indices=True)
+            .set(plane, mode="drop")
         )
 
     cw = compact(ws_f)
