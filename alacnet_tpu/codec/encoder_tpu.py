@@ -236,8 +236,9 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
     }
 
 
-def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
-    """Stage the prepped batch onto the device (async)."""
+def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None):
+    """Stage the prepped batch onto the device (async); with a mesh,
+    DP-shard the frames (parallel.mesh.encode_stages_pcm_spmd)."""
     import jax.numpy as jnp
 
     from ..ops.encode import RiceEncParams, encode_stages_pcm
@@ -264,6 +265,18 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig):
         kmask=jnp.asarray(np.full(B, params.rice_kmodifier_mask, np.int32)),
     )
     max_order = 0 if order in (0, 31) else order
+    if mesh is not None:
+        from ..parallel.mesh import encode_stages_pcm_spmd
+
+        # Planes come back (2, F, ...) channel-major (sharded on F);
+        # the packers flatten to the (2F, ...) lane layout after the
+        # host fetch (_fetch_lane_major) — reshaping the sharded array
+        # on device would force a cross-shard gather.
+        return encode_stages_pcm_spmd(
+            prep["pcm"], prep["stereo_f"], prep["ns"], lp, rp, mesh, S,
+            max_order=max_order, lw=prep["lw"], sh=prep["sh"],
+            ub8=prep["ub8"], wide=prep["wide"],
+        )
     return encode_stages_pcm(
         jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["ns"]), lp, rp, S, max_order=max_order,
@@ -351,10 +364,29 @@ def _pack_device(prep, planes, timings: dict | None):
 
 
 def _pack(prep, planes, timings: dict | None):
-    """Assemble payload bytes (device-pack variant under the flag)."""
-    if _enc_device_pack() and prep["extra_plane"] is None:
+    """Assemble payload bytes (device-pack variant under the flag).
+
+    Mesh dispatches (channel-major 3-dim planes) always pack on host:
+    pack_frames_device wants flat single-device lane planes, and
+    reshaping a sharded array would gather it to one device anyway."""
+    if (
+        _enc_device_pack()
+        and prep["extra_plane"] is None
+        and getattr(planes[0], "ndim", 2) == 2
+    ):
         return _pack_device(prep, planes, timings)
     return _pack_host(prep, planes, timings)
+
+
+def _fetch_lane_major(x, ndim_flat: int) -> np.ndarray:
+    """Fetch a chunk plane to host in the packer's flat (2F, ...) lane
+    layout.  Mesh dispatches return channel-major (2, F, ...) shards
+    (encode_stages_pcm_spmd) — flattening after the fetch is a free
+    view, where a device-side reshape would gather across shards."""
+    a = np.asarray(x)
+    if a.ndim == ndim_flat + 1:
+        a = np.ascontiguousarray(a).reshape(-1, *a.shape[2:])
+    return a
 
 
 def _pack_host(prep, planes, timings: dict | None):
@@ -365,11 +397,11 @@ def _pack_host(prep, planes, timings: dict | None):
 
     _t0 = _time.perf_counter()
     c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
-    c0 = np.asarray(c0_d)
-    c1 = np.asarray(c1_d)
-    c2 = np.asarray(c2_d)
-    ws = np.asarray(ws_d)
-    bits = np.asarray(bits_d).astype(np.int64)
+    c0 = _fetch_lane_major(c0_d, 2)
+    c1 = _fetch_lane_major(c1_d, 2)
+    c2 = _fetch_lane_major(c2_d, 2)
+    ws = _fetch_lane_major(ws_d, 2)
+    bits = _fetch_lane_major(bits_d, 1).astype(np.int64)
     if bool(np.asarray(bad_d).any()):
         raise RuntimeError("encoder state desync: raw < 0")
     _t1 = _time.perf_counter()
@@ -443,6 +475,7 @@ def encode_frames_tpu(
     config: EncoderConfig | None = None,
     timings: dict | None = None,
     chunk_frames: int | None = None,
+    mesh=None,
 ) -> list[bytes]:
     """Encode PCM frames in device batches.
 
@@ -461,6 +494,12 @@ def encode_frames_tpu(
     over chunks — ``prep_s``, ``emit_wait_s`` (blocking plane readback;
     on a tunneled chip the D2H dominates — ``plane_bytes`` records the
     transfer size), ``pack_s``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — DP-shards each chunk's
+    frames across the mesh (parallel.mesh.encode_stages_pcm_spmd; the
+    same embarrassing frame parallelism as decode's ``decode_files
+    (mesh=)``).  Chunks are padded with silent full frames to the mesh
+    granularity; pad payloads are dropped before returning.
     """
     import time as _time
 
@@ -498,7 +537,8 @@ def encode_frames_tpu(
             if item is None:
                 return
             try:
-                payloads.extend(_pack(item[0], item[1], timings))
+                got = _pack(item[0], item[1], timings)
+                payloads.extend(got[: item[0].get("real_frames", len(got))])
             except BaseException as e:  # propagate to the dispatch loop
                 failure.append(e)
                 return
@@ -516,11 +556,25 @@ def encode_frames_tpu(
             except _queue.Full:
                 continue
 
+    n_dev = mesh.devices.size if mesh is not None else 1
+    S = params.max_samples_per_frame
     for lo in range(0, F, step):
         chunk = frames[lo : lo + step]
+        real = len(chunk)
+        if mesh is not None and real % n_dev:
+            # Pad to the shard granularity with silent full frames;
+            # their payloads are dropped below (``real`` bound).
+            pad = n_dev - real % n_dev
+            fill = [np.zeros((S, 2), np.int32)] * pad
+            chunk = (
+                [np.asarray(fr) for fr in chunk] + fill
+                if not isinstance(chunk, np.ndarray)
+                else list(chunk) + fill
+            )
         _t0 = _time.perf_counter()
         prep = _prep(chunk, params, cfg, enc)
-        planes = _dispatch(prep, params, cfg)  # async
+        prep["real_frames"] = real
+        planes = _dispatch(prep, params, cfg, mesh=mesh)  # async
         if timings is not None:
             timings["prep_s"] = (
                 timings.get("prep_s", 0.0) + _time.perf_counter() - _t0

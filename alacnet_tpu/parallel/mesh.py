@@ -168,3 +168,71 @@ def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
     words, meta = shard_frame_batch(fb, mesh)
     with mesh:
         return _decode_and_account(words, meta, num_samples)
+
+
+def encode_stages_pcm_spmd(
+    pcm, stereo, n, lp, rp, mesh: Mesh, num_samples: int,
+    max_order: int, lw: int, sh: int, ub8: int, wide: bool,
+):
+    """ops/encode.encode_stages_pcm over a frame-sharded mesh — the
+    encode mirror of :func:`decode_frames_spmd` (DP over frames, zero
+    collectives in the math; the two sequential automatons run
+    per-shard).
+
+    The channel fold makes lane order the one subtlety: globally the
+    planes are [all channel-A lanes, all channel-B lanes], but each
+    shard folds only its own frames.  All (2F,)-shaped lane params and
+    all outputs therefore travel as (2, F, ...) — channel-major with
+    the FRAME axis sharded — so the global order is preserved exactly;
+    hosts reshape back to (2F, ...) for the packer (a free view).
+
+    ``pcm`` (F, S, 2) int32, ``n``/``lp``/``rp`` in the flat (2F,) lane
+    layout.  Returns (c0, c1, c2, ws, bits, bad) each (2, F, ...).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.encode import RiceEncParams, encode_stages_pcm
+    from ..ops.lpc import LpcParams
+
+    F = pcm.shape[0]
+    fsh = NamedSharding(mesh, P(FRAME_AXIS))
+    csh = NamedSharding(mesh, P(None, FRAME_AXIS))
+
+    def to2(x):
+        a = np.asarray(x)
+        return jax.device_put(
+            np.ascontiguousarray(a.reshape(2, F, *a.shape[1:])), csh
+        )
+
+    pcm_d = jax.device_put(np.ascontiguousarray(pcm), fsh)
+    st_d = jax.device_put(np.ascontiguousarray(stereo), fsh)
+    n2 = to2(n)
+    lp2 = LpcParams(*(to2(x) for x in lp))
+    rp2 = RiceEncParams(*(to2(x) for x in rp))
+
+    def fn(pcm_l, st_l, n_l, lp_l, rp_l):
+        f = pcm_l.shape[0]
+
+        def flat(x):
+            return x.reshape(2 * f, *x.shape[2:])
+
+        def two(x):
+            return x.reshape(2, f, *x.shape[1:])
+
+        out = encode_stages_pcm(
+            pcm_l, st_l, flat(n_l),
+            LpcParams(*(flat(x) for x in lp_l)),
+            RiceEncParams(*(flat(x) for x in rp_l)),
+            num_samples, max_order=max_order, lw=lw, sh=sh, ub8=ub8,
+            wide=wide,
+        )
+        return tuple(two(x) for x in out)
+
+    cspec = P(None, FRAME_AXIS)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), cspec, cspec, cspec),
+        out_specs=(cspec,) * 6,
+        check_vma=False,
+    )(pcm_d, st_d, n2, lp2, rp2)

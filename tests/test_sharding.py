@@ -90,3 +90,26 @@ def test_decode_blob_over_mesh(devpack, monkeypatch):
     np.testing.assert_array_equal(out, ref_out)
     np.testing.assert_array_equal(n, ref_n)
     np.testing.assert_array_equal(st, ref_st)
+
+
+def test_sharded_encode_byte_identical():
+    """encode_frames_tpu(mesh=): DP-sharded encode over the 8-device
+    mesh, byte-identical to the single-device device encoder — incl. a
+    ragged chunk (F not divisible by the mesh) via silent-frame padding
+    and mixed mono/partial frames."""
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.codec.encoder_tpu import encode_frames_tpu
+    from alacnet_tpu.parallel.mesh import make_mesh
+
+    S = 256
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=4)
+    frames = [tone(S, 2, 16, seed=i) for i in range(17)]  # 17 % 8 != 0
+    frames[3] = np.zeros((S, 2), np.int32)  # zero-run content
+    frames[5] = tone(S, 1, 16, seed=99)  # mono lane
+    frames[11] = tone(S // 2 + 3, 2, 16, seed=7)  # partial (hassize)
+    want = encode_frames_tpu(frames, params, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    got = encode_frames_tpu(frames, params, cfg, mesh=mesh)
+    assert got == want
