@@ -118,9 +118,14 @@ def _cmd_encode(args) -> int:
     if args.bits:
         bits = args.bits
     cfg = EncoderConfig(order=args.order)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     t0 = time.perf_counter()
     with open(args.output, "wb") as f:
-        encode_m4a(f, pcm, rate, bits, cfg, device=args.device)
+        encode_m4a(f, pcm, rate, bits, cfg, device=args.device, mesh=mesh)
     dt = time.perf_counter() - t0
     import os
 
@@ -274,6 +279,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--device", action="store_true",
         help="run the sequential encode stages batched on the accelerator",
+    )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="DP-shard the encode frames over all visible devices",
     )
     p.set_defaults(fn=_cmd_encode)
 

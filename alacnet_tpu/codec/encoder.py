@@ -582,12 +582,15 @@ def encode_m4a(
     config: EncoderConfig | None = None,
     max_samples_per_frame: int = 4096,
     device: bool = False,
+    mesh=None,
     **mux_kwargs,
 ) -> CodecParams:
     """Encode a PCM array (num_samples, channels) into a complete .m4a.
 
     ``device=True`` runs the sequential encode stages frame-parallel on
     the accelerator (codec/encoder_tpu.py) — byte-identical output.
+    ``mesh`` (implies device) DP-shards the frames across a
+    ``jax.sharding.Mesh`` (parallel.mesh.encode_stages_pcm_spmd).
     """
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
@@ -604,10 +607,12 @@ def encode_m4a(
         for s in range(0, nsamples, max_samples_per_frame)
     ]
     durations = [len(c) for c in chunks]
-    if device and not (config and config.force_uncompressed):
+    if (device or mesh is not None) and not (
+        config and config.force_uncompressed
+    ):
         from .encoder_tpu import encode_frames_tpu
 
-        frames = encode_frames_tpu(chunks, params, config)
+        frames = encode_frames_tpu(chunks, params, config, mesh=mesh)
     else:
         enc = AlacEncoder(params, config)
         frames = [enc.encode_frame(c) for c in chunks]
