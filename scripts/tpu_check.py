@@ -127,6 +127,49 @@ def check_devpack(batch: int, frame_samples: int, seed: int) -> dict:
     }
 
 
+def check_encpack(frames: int, frame_samples: int, seed: int) -> dict:
+    """Encode with device-side frame packing (ALAC_ENC_DEVICE_PACK,
+    ops/encode.pack_frames_device compiled on hardware) vs the host
+    packer: byte-identical payloads over mixed content (music, silence
+    zero-runs, noise escapes, mono, partial frames) — pins the compiled
+    lowering of the pack kernel's scatter/searchsorted/gather-OR phases
+    and the big-endian bitcast byte order."""
+    import os
+
+    from alacnet_tpu.bench_lib import _music_pcm
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.codec.encoder_tpu import encode_frames_tpu
+
+    rng = np.random.default_rng(seed)
+    S = frame_samples
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    pcm = _music_pcm(frames * S, 16, 2, rng)
+    pcm[2 * S : 4 * S] = 0  # zero-run frames
+    pcm[5 * S : 6 * S] = rng.integers(-32768, 32767, (S, 2))  # escapes
+    fr = [pcm[i * S : (i + 1) * S] for i in range(frames)]
+    fr[1] = fr[1][: S // 2 + 7]  # partial
+    fr[3] = fr[3][:, :1]  # mono
+    cfg = EncoderConfig(order=6)
+    t0 = time.time()
+    saved = os.environ.get("ALAC_ENC_DEVICE_PACK")
+    try:
+        os.environ["ALAC_ENC_DEVICE_PACK"] = "0"
+        want = encode_frames_tpu(fr, params, cfg)
+        os.environ["ALAC_ENC_DEVICE_PACK"] = "1"
+        got = encode_frames_tpu(fr, params, cfg)
+    finally:
+        if saved is None:
+            os.environ.pop("ALAC_ENC_DEVICE_PACK", None)
+        else:
+            os.environ["ALAC_ENC_DEVICE_PACK"] = saved
+    return {
+        "parity_ok": got == want,
+        "frames": frames,
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def check_fuzz(count: int, seed: int) -> dict:
     """Compiled fused == XLA == scalar oracle on random-body payloads."""
     from tests.test_fuzz_differential import S as FS
@@ -198,6 +241,9 @@ def main() -> int:
     )
     all_ok = all_ok and record["devpack"]["parity_ok"]
     print("devpack:", record["devpack"])
+    record["encpack"] = check_encpack(256, args.frame_samples, args.seed)
+    all_ok = all_ok and record["encpack"]["parity_ok"]
+    print("encpack:", record["encpack"])
     record["fuzz"] = check_fuzz(args.fuzz, args.seed)
     all_ok = all_ok and record["fuzz"]["parity_ok"]
     print("fuzz:", record["fuzz"])
