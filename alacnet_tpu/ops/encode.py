@@ -432,6 +432,37 @@ def pack_frames_device(
     The extra-bits plane (ub != 0) is NOT packed here; callers keep
     those frames on the host packer.
     """
+    a0, a1, a2, starts, ends, end_bits, NS = _pack_fold_compact(
+        c0, c1, c2, ws, n, stereo, hbits
+    )
+    F = ws.shape[0] // 2
+
+    lo_row = jnp.arange(stride_words, dtype=I32) * 32
+    first = jax.vmap(
+        lambda e: jnp.searchsorted(e, lo_row, side="right")
+    )(ends).astype(I32)
+    lo = lo_row[None, :]
+    hi = lo + 32
+
+    acc = jnp.zeros((F, stride_words), U32)
+    for t in range(K):
+        k = first + t
+        kc = jnp.minimum(k, NS - 1)
+        st = jnp.take_along_axis(starts, kc, axis=1)
+        en = jnp.take_along_axis(ends, kc, axis=1)
+        v0 = jnp.take_along_axis(a0, kc, axis=1)
+        v1 = jnp.take_along_axis(a1, kc, axis=1)
+        v2 = jnp.take_along_axis(a2, kc, axis=1)
+        live = (k < NS) & (st < hi) & (en > lo) & (en > st)
+        win = _win32(v0, v1, v2, en - hi)
+        acc = acc | jnp.where(live, win, jnp.zeros_like(win))
+
+    return _rows_be(acc, F, stride_words), end_bits
+
+
+def _pack_fold_compact(c0, c1, c2, ws, n, stereo, hbits):
+    """Phases 1-2 shared by the pack variants: frame-major channel fold,
+    zero-width compaction, absolute bit ranges."""
     F, S = ws.shape[0] // 2, ws.shape[1]
     NS = 2 * S
     samp = jnp.arange(S, dtype=I32)[None, :]
@@ -446,7 +477,7 @@ def pack_frames_device(
     ws_f = fold(ws.astype(I32), I32)
     mask = ws_f > 0
     # Compact real symbols to the front; dropped slots scatter past the
-    # row end (mode='drop').  Indices are unique by construction.
+    # row end (mode='drop').
     dest = jnp.where(mask, jnp.cumsum(mask, axis=1) - 1, NS)
     fidx = jnp.broadcast_to(jnp.arange(F, dtype=I32)[:, None], (F, NS))
 
@@ -468,48 +499,66 @@ def pack_frames_device(
 
     ends = hbits[:, None] + jnp.cumsum(cw, axis=1)
     starts = ends - cw
-    end_bits = ends[:, -1]
+    return a0, a1, a2, starts, ends, ends[:, -1], NS
 
-    lo_row = jnp.arange(stride_words, dtype=I32) * 32
-    first = jax.vmap(
-        lambda e: jnp.searchsorted(e, lo_row, side="right")
-    )(ends).astype(I32)
-    lo = lo_row[None, :]
-    hi = lo + 32
 
-    acc = jnp.zeros((F, stride_words), U32)
-    for t in range(K):
-        k = first + t
-        kc = jnp.minimum(k, NS - 1)
-        st = jnp.take_along_axis(starts, kc, axis=1)
-        en = jnp.take_along_axis(ends, kc, axis=1)
-        v0 = jnp.take_along_axis(a0, kc, axis=1)
-        v1 = jnp.take_along_axis(a1, kc, axis=1)
-        v2 = jnp.take_along_axis(a2, kc, axis=1)
-        live = (k < NS) & (st < hi) & (en > lo) & (en > st)
-        s = en - hi  # >= 0: field extends past the window; < 0: ends inside
-        sr = jnp.maximum(s, 0)
-        right = jnp.where(
-            sr < 32,
-            _shr_s(v2, sr) | _shl_s(v1, 32 - sr),
-            jnp.where(
-                sr < 64,
-                _shr_s(v1, sr - 32) | _shl_s(v0, 64 - sr),
-                _shr_s(v0, jnp.minimum(sr - 64, 32)),
-            ),
-        )
-        left = _shl_s(v2, jnp.maximum(-s, 0))
-        win = jnp.where(s >= 0, right, left)
-        acc = acc | jnp.where(live, win, jnp.zeros_like(win))
+def _win32(v0, v1, v2, s):
+    """The 32-bit window of the 96-bit value v0:v1:v2 whose LSB sits
+    ``s`` bits above the value's LSB (s >= 0: field extends past the
+    window; s < 0: field ends -s bits inside it)."""
+    sr = jnp.maximum(s, 0)
+    right = jnp.where(
+        sr < 32,
+        _shr_s(v2, sr) | _shl_s(v1, 32 - sr),
+        jnp.where(
+            sr < 64,
+            _shr_s(v1, sr - 32) | _shl_s(v0, 64 - sr),
+            _shr_s(v0, jnp.minimum(sr - 64, 32)),
+        ),
+    )
+    left = _shl_s(v2, jnp.maximum(-s, 0))
+    return jnp.where(s >= 0, right, left)
 
-    # Big-endian byte order: the word's MSB is the stream's earliest bit.
+
+def _rows_be(acc, F: int, stride_words: int):
+    """(F, W) u32 accumulators -> (F, W*4) big-endian stream bytes."""
     be = (
         (acc >> 24)
         | ((acc >> 8) & 0xFF00)
         | ((acc << 8) & 0xFF0000)
         | (acc << 24)
     )
-    rows = jax.lax.bitcast_convert_type(be, jnp.uint8).reshape(
+    return jax.lax.bitcast_convert_type(be, jnp.uint8).reshape(
         F, stride_words * 4
     )
-    return rows, end_bits
+
+
+@functools.partial(jax.jit, static_argnames=("stride_words",))
+def pack_frames_device_scatter(
+    c0, c1, c2, ws, n, stereo, hbits, stride_words: int
+):
+    """Scatter-add formulation of :func:`pack_frames_device` — the
+    symmetric alternative: instead of each output word GATHERING its
+    <= K overlapping symbols, each symbol SCATTERS its <= 4 word
+    contributions (a <= 81-bit chunk spans at most ceil((81+31)/32) = 4
+    output words).  Contributions to a shared word occupy disjoint bit
+    ranges, so an integer scatter-ADD is exactly bitwise OR and
+    duplicate indices are well-defined.  ~4*NS scattered elements vs
+    the gather's K*W*6 gathered ones; which wins is a lowering
+    question — measured on hardware by scripts/abtest_encpack.py.
+    """
+    a0, a1, a2, starts, ends, end_bits, NS = _pack_fold_compact(
+        c0, c1, c2, ws, n, stereo, hbits
+    )
+    F = ws.shape[0] // 2
+    fidx = jnp.broadcast_to(jnp.arange(F, dtype=I32)[:, None], (F, NS))
+    j0 = starts >> 5
+    acc = jnp.zeros((F, stride_words), U32)
+    for t in range(4):
+        j = j0 + t
+        live = (ends > starts) & (j * 32 < ends)
+        val = _win32(a0, a1, a2, ends - (j * 32 + 32))
+        val = jnp.where(live, val, jnp.zeros_like(val))
+        jc = jnp.where(live, j, stride_words)  # drop dead updates
+        acc = acc.at[fidx, jc].add(val, mode="drop")
+    return _rows_be(acc, F, stride_words), end_bits

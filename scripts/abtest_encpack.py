@@ -30,7 +30,9 @@ from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
 from alacnet_tpu.codec.encoder_tpu import (
     _PACK_STRIDE_STEP, _dispatch, _or_header, _pack_host, _prep,
 )
-from alacnet_tpu.ops.encode import pack_frames_device
+from alacnet_tpu.ops.encode import (
+    pack_frames_device, pack_frames_device_scatter,
+)
 
 
 def main() -> int:
@@ -83,9 +85,14 @@ def main() -> int:
     jnp.sum(args[0]).item()
     B = 2 * F
 
-    for K in (10, 18, 34):
-        sound = K >= max_contrib
-        rows_d, end_d = pack_frames_device(*args, stride_words=stride, K=K)
+    variants = [("gather", K, None) for K in (10, 18, 34)]
+    variants.append(("scatter", 0, pack_frames_device_scatter))
+    for name, K, alt in variants:
+        sound = alt is not None or K >= max_contrib
+        if alt is not None:
+            rows_d, end_d = alt(*args, stride_words=stride)
+        else:
+            rows_d, end_d = pack_frames_device(*args, stride_words=stride, K=K)
         rows = np.asarray(rows_d).copy()
         end_bits = np.asarray(end_d)
         hv, hw, h_off = prep["hv"], prep["hw"], prep["h_off"]
@@ -96,18 +103,24 @@ def main() -> int:
             got.append(rows[f, : -(-int(end_bits[f]) // 8)].tobytes())
         parity = got == want
 
-        def make(KK, K=K):
+        def make(KK, K=K, alt=alt):
             @jax.jit
             def run(salt, *a):
                 def body(i, acc):
                     r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
                     rf = ((i + salt) % jnp.uint32(7)) * jnp.uint32(F)
-                    rows, eb = pack_frames_device(
+                    rolled = (
                         jnp.roll(a[0], r, axis=0), jnp.roll(a[1], r, axis=0),
                         jnp.roll(a[2], r, axis=0), jnp.roll(a[3], r, axis=0),
                         jnp.roll(a[4], rf), jnp.roll(a[5], rf),
-                        jnp.roll(a[6], rf), stride_words=stride, K=K,
+                        jnp.roll(a[6], rf),
                     )
+                    if alt is not None:
+                        rows, eb = alt(*rolled, stride_words=stride)
+                    else:
+                        rows, eb = pack_frames_device(
+                            *rolled, stride_words=stride, K=K
+                        )
                     return acc + jnp.sum(eb) + rows[-1, -1].astype(jnp.int32)
 
                 return lax.fori_loop(0, KK, body, jnp.zeros((), jnp.int32))
@@ -116,7 +129,7 @@ def main() -> int:
 
         per = _slope_measure(make, args, 3, 0.25)
         print(
-            f"K={K:3d} sound={sound} parity={parity} "
+            f"{name} K={K:3d} sound={sound} parity={parity} "
             f"per_pass={per * 1e3:8.3f} ms  {F * S / per / 1e6:8.1f} Msps"
         )
     return 0

@@ -213,15 +213,25 @@ def test_device_pack_extrabits_falls_back(rng, monkeypatch):
     )
 
 
-def test_pack_frames_device_adversarial_widths(rng):
-    """pack_frames_device against a pure BitWriter on synthetic chunk
-    planes: dense 1-bit symbol runs (33+ symbols inside one 32-bit
-    output word — the K=34 gather window's worst case), zero-width
-    gaps, 96-bit chunks spanning words, mono and partial frames."""
+@pytest.mark.parametrize("impl", ["gather", "scatter"])
+def test_pack_frames_device_adversarial_widths(rng, impl):
+    """Both device pack formulations against a pure BitWriter on
+    synthetic chunk planes: dense 1-bit symbol runs (33+ symbols inside
+    one 32-bit output word — the K=34 gather window's worst case),
+    zero-width gaps, 96-bit chunks spanning words, mono and partial
+    frames."""
     import jax.numpy as jnp
 
+    from alacnet_tpu.ops.encode import (
+        pack_frames_device, pack_frames_device_scatter,
+    )
     from alacnet_tpu.codec.bitwriter import BitWriter
-    from alacnet_tpu.ops.encode import pack_frames_device
+
+    pack = pack_frames_device if impl == "gather" else (
+        lambda *a, stride_words: pack_frames_device_scatter(
+            *a, stride_words=stride_words
+        )
+    )
 
     F, S2 = 6, 160
     n = np.array([160, 160, 97, 160, 1, 160], np.int32)
@@ -255,7 +265,7 @@ def test_pack_frames_device_adversarial_widths(rng):
         for lane in lanes:
             total[f] += int(w[lane, : n[f]].sum())
     stride_words = int(total.max()) // 32 + 2
-    rows, end_bits = pack_frames_device(
+    rows, end_bits = pack(
         jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(ws),
         jnp.asarray(n), jnp.asarray(stereo), jnp.asarray(hbits),
         stride_words=stride_words,
