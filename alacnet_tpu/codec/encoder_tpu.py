@@ -325,9 +325,10 @@ def _pack_device(prep, planes, timings: dict | None):
     row's zeroed prefix and slices payloads."""
     import time as _time
 
+    import os
     import jax.numpy as jnp
 
-    from ..ops.encode import pack_frames_device
+    from ..ops.encode import pack_frames_device, pack_frames_device_scatter
 
     _t0 = _time.perf_counter()
     c0_d, c1_d, c2_d, ws_d, bits_d, bad_d = planes
@@ -338,14 +339,24 @@ def _pack_device(prep, planes, timings: dict | None):
     total_bits = prep["hbits"] + bits[:F] + bits[F:]
     need = int(total_bits.max()) // 32 + 2 if F else 2
     stride_words = -(-need // _PACK_STRIDE_STEP) * _PACK_STRIDE_STEP
-    rows_d, end_d = pack_frames_device(
+    pargs = (
         jnp.asarray(c0_d), jnp.asarray(c1_d), jnp.asarray(c2_d),
         jnp.asarray(ws_d),
         jnp.asarray(prep["ns_f"].astype(np.int32)),
         jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["hbits"].astype(np.int32)),
-        stride_words=stride_words,
     )
+    # Two bit-identical formulations (hardware picks the winner via
+    # scripts/abtest_encpack.py; flip here or via env once measured).
+    impl = os.environ.get("ALAC_ENC_PACK_IMPL", "gather")
+    if impl not in ("gather", "scatter"):
+        raise ValueError(f"ALAC_ENC_PACK_IMPL must be gather/scatter, got {impl!r}")
+    if impl == "scatter":
+        rows_d, end_d = pack_frames_device_scatter(
+            *pargs, stride_words=stride_words
+        )
+    else:
+        rows_d, end_d = pack_frames_device(*pargs, stride_words=stride_words)
     rows = np.asarray(rows_d).copy()
     end_bits = np.asarray(end_d)
     _t1 = _time.perf_counter()

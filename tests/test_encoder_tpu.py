@@ -292,3 +292,18 @@ def test_pack_frames_device_adversarial_widths(rng, impl):
         assert int(end_bits[f]) == bw.bitpos, f"frame {f} end_bits"
         ref = bw.getvalue()
         assert rows[f, : len(ref)].tobytes() == ref, f"frame {f} bytes"
+
+
+def test_device_pack_scatter_impl_byte_equal(rng, monkeypatch):
+    """ALAC_ENC_PACK_IMPL=scatter through the full pipeline: payloads
+    byte-identical to the host packer."""
+    monkeypatch.setenv("ALAC_ENC_DEVICE_PACK", "1")
+    monkeypatch.setenv("ALAC_ENC_PACK_IMPL", "scatter")
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    pcm = _signal("silence", 16, 2, rng)
+    pcm[: S // 2] = _signal("noise", 16, 2, rng)[: S // 2]
+    frames = [pcm[i : i + S] for i in range(0, pcm.shape[0], S)]
+    cfg = EncoderConfig(order=4)
+    assert encode_frames_tpu(frames, params, cfg) == _host_payloads(
+        frames, params, cfg
+    )
