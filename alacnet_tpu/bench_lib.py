@@ -1063,7 +1063,7 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
     from jax import lax
 
     from .codec.encoder_tpu import _PACK_STRIDE_STEP, _or_header
-    from .ops.encode import pack_frames_device
+    from .ops.encode import pack_frames_device, pack_frames_device_scatter
 
     try:
         c0d, c1d, c2d, wsd, bits_d, _bad = planes
@@ -1081,31 +1081,42 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
         )
         B = int(wsd.shape[0])
 
-        def make(K):
-            @jax.jit
-            def run(salt, c0, c1, c2, ws, n, st, hb):
-                def body(i, acc):
-                    # Identity-multiple rolls (cf. _device_slope_time):
-                    # lane-plane arrays roll by multiples of B, frame
-                    # arrays by multiples of F — both identity.
-                    rB = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
-                    rF = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B // 2)
-                    rows, eb = pack_frames_device(
-                        jnp.roll(c0, rB, axis=0), jnp.roll(c1, rB, axis=0),
-                        jnp.roll(c2, rB, axis=0), jnp.roll(ws, rB, axis=0),
-                        jnp.roll(n, rF), jnp.roll(st, rF), jnp.roll(hb, rF),
-                        stride_words=stride,
-                    )
-                    return (
-                        acc + jnp.sum(eb) + rows[-1, -1].astype(jnp.int32)
-                    )
+        def make_impl(packer):
+            def make(K):
+                @jax.jit
+                def run(salt, c0, c1, c2, ws, n, st, hb):
+                    def body(i, acc):
+                        # Identity-multiple rolls (cf. _device_slope_time):
+                        # lane-plane arrays roll by multiples of B, frame
+                        # arrays by multiples of F — both identity.
+                        rB = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
+                        rF = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B // 2)
+                        rows, eb = packer(
+                            jnp.roll(c0, rB, axis=0),
+                            jnp.roll(c1, rB, axis=0),
+                            jnp.roll(c2, rB, axis=0),
+                            jnp.roll(ws, rB, axis=0),
+                            jnp.roll(n, rF), jnp.roll(st, rF),
+                            jnp.roll(hb, rF), stride_words=stride,
+                        )
+                        return (
+                            acc + jnp.sum(eb) + rows[-1, -1].astype(jnp.int32)
+                        )
 
-                return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+                    return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
 
-            return run
+                return run
+
+            return make
 
         pack_dev_s = _slope_measure(
-            make, (c0d, c1d, c2d, wsd, ns_d, st_d, hb_d),
+            make_impl(pack_frames_device),
+            (c0d, c1d, c2d, wsd, ns_d, st_d, hb_d),
+            max(2, repeats), 0.25,
+        )
+        pack_scatter_s = _slope_measure(
+            make_impl(pack_frames_device_scatter),
+            (c0d, c1d, c2d, wsd, ns_d, st_d, hb_d),
             max(2, repeats), 0.25,
         )
 
@@ -1132,6 +1143,9 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
             host_s = min(host_s, time.perf_counter() - t0)
         return {
             "encode_devpack_device_msps": round(Fe * S / pack_dev_s / 1e6, 3),
+            "encode_devpack_scatter_msps": round(
+                Fe * S / pack_scatter_s / 1e6, 3
+            ),
             "encode_devpack_host_msps": round(Fe * S / host_s / 1e6, 3),
             "encode_devpack_d2h_bytes_per_sample": round(
                 rows0.nbytes / (Fe * S), 2
