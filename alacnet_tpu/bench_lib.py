@@ -180,9 +180,10 @@ def make_corpus_frames(
 
 def _slope_measure(make, call_args, trials: int, target_s: float) -> float:
     """Shared slope-timing harness: per-pass seconds of one jitted body,
-    as an in-executable slope — ``make(K)`` returns a jitted
-    ``run(salt, *call_args)`` that executes the body K times in a
-    ``fori_loop``; ``per_pass = (t(K2) - t(1)) / (K2 - 1)``.
+    as an in-executable slope — ``make()`` returns a jitted
+    ``run(salt, K, *call_args)`` that executes the body K times in a
+    ``fori_loop`` with a TRACED trip count;
+    ``per_pass = (t(K2) - t(1)) / (K2 - 1)``.
 
     Why a slope inside one executable: the dev relay serializes each
     executable call at a ~10-25 ms round trip (DESIGN.md §4c), so chains
@@ -191,33 +192,39 @@ def _slope_measure(make, call_args, trials: int, target_s: float) -> float:
     388 while the kernel runs at ~810 Msps).  The fixed per-call cost
     cancels exactly in the slope.  The salt argument keeps timed RPCs
     byte-distinct (the relay memoizes identical calls).
+
+    Why K is a runtime argument and not baked into the executable: a
+    cold remote compile takes minutes over this relay, and static-K
+    builds cost one compile per (span, K) — three per span with the
+    adaptive retry.  A dynamic trip count (XLA lowers the fori_loop to
+    a while loop) compiles each span's slope body exactly ONCE and
+    serves every K, including the adaptive retry, from the persistent
+    compilation cache.
     """
     seed = int(np.random.default_rng().integers(1 << 20))
+    run = make()
+    run(jnp.uint32(seed), jnp.int32(1), *call_args).item()  # compile + warm
 
-    def tmin(run, base):
+    def tmin(K, base):
         best = float("inf")
         for j in range(trials):
             t0 = time.perf_counter()
-            run(jnp.uint32(seed + base + j), *call_args).item()
+            run(
+                jnp.uint32(seed + base + j), jnp.int32(K), *call_args
+            ).item()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    r1 = make(1)
-    r1(jnp.uint32(seed), *call_args).item()  # compile + warm
-    t1 = tmin(r1, 100)
+    t1 = tmin(1, 100)
     K2 = 9
-    rk = make(K2)
-    rk(jnp.uint32(seed + 50), *call_args).item()
-    tk = tmin(rk, 200)
+    tk = tmin(K2, 200)
     per = max(tk - t1, 1e-6) / (K2 - 1)
     if tk - t1 < max(t1, 0.05):
-        # Slope drowned in relay jitter: rebuild with enough iterations
+        # Slope drowned in relay jitter: retry with enough iterations
         # that compute dominates the round trip (odd K keeps RPCs
-        # distinct from the K2=9 executable's).
+        # distinct from the K2=9 calls'; no recompile — K is traced).
         K2 = min(129, max(17, int(target_s / max(per, 1e-5)) | 1))
-        rk = make(K2)
-        rk(jnp.uint32(seed + 60), *call_args).item()
-        tk = tmin(rk, 300)
+        tk = tmin(K2, 300)
         per = max(tk - t1, 1e-6) / (K2 - 1)
     return per
 
@@ -261,9 +268,9 @@ def _device_slope_time(
         w0, m0 = arrs[2 * si], arrs[2 * si + 1]
         B = w0.shape[0]
 
-        def make(K, uf=uf, mo=mo, cap=cap, B=B):
+        def make(uf=uf, mo=mo, cap=cap, B=B):
             @jax.jit
-            def run(salt, w0, m0):
+            def run(salt, K, w0, m0):
                 def body(i, acc):
                     # ((i+salt) mod 7) * B: a multiple of the lane
                     # count (identity permutation, production block
@@ -315,9 +322,9 @@ def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
     tail_d = jnp.uint32(tail_be)
     nblob = int(blob_d.shape[0])
 
-    def make_words(K):
+    def make_words():
         @jax.jit
-        def run(salt, blob):
+        def run(salt, K, blob):
             def body(i, acc):
                 # Identity-multiple roll (see _device_slope_time): the
                 # body depends on i so it can't be hoisted, and the
@@ -339,9 +346,9 @@ def _pack_slope_time(blob_u8, row_spans, max_w: int, trials: int = 3) -> float:
         Bs = int(ow_d.shape[0])
         jnp.sum(ow_d).item()  # force H2D through the relay
 
-        def make(K, W=W, Bs=Bs):
+        def make(W=W, Bs=Bs):
             @jax.jit
-            def run(salt, bw, ow0, nb0):
+            def run(salt, K, bw, ow0, nb0):
                 def body(i, acc):
                     # Identity-multiple roll, as in _device_slope_time:
                     # keeps the pack kernel's TB-lane block composition
@@ -1082,9 +1089,9 @@ def _encode_devpack_stage(prep, planes, Fe: int, S: int, repeats: int) -> dict:
         B = int(wsd.shape[0])
 
         def make_impl(packer):
-            def make(K):
+            def make():
                 @jax.jit
-                def run(salt, c0, c1, c2, ws, n, st, hb):
+                def run(salt, K, c0, c1, c2, ws, n, st, hb):
                     def body(i, acc):
                         # Identity-multiple rolls (cf. _device_slope_time):
                         # lane-plane arrays roll by multiples of B, frame

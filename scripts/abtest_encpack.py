@@ -103,9 +103,9 @@ def main() -> int:
             got.append(rows[f, : -(-int(end_bits[f]) // 8)].tobytes())
         parity = got == want
 
-        def make(KK, K=K, alt=alt):
+        def make(K=K, alt=alt):
             @jax.jit
-            def run(salt, *a):
+            def run(salt, KK, *a):
                 def body(i, acc):
                     r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
                     rf = ((i + salt) % jnp.uint32(7)) * jnp.uint32(F)
