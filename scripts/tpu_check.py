@@ -226,27 +226,64 @@ def main() -> int:
     ap.add_argument("--fuzz", type=int, default=512)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip sections already green in --out (cold compiles over "
+        "the dev relay can exceed one run window; each section that "
+        "finishes is written immediately, so repeated --resume runs "
+        "make monotonic progress)",
+    )
     args = ap.parse_args()
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     record = {"backend": "tpu", "kinds": {}, "batch": args.batch}
+    if args.resume and args.out and Path(args.out).exists():
+        prior = json.loads(Path(args.out).read_text())
+        if prior.get("batch") == args.batch:
+            record["kinds"] = {
+                k: v for k, v in prior.get("kinds", {}).items()
+                if v.get("parity_ok")
+            }
+            for sec in ("devpack", "encpack", "fuzz"):
+                if prior.get(sec, {}).get("parity_ok"):
+                    record[sec] = prior[sec]
+
+    def checkpoint():
+        if args.out:
+            snap = dict(record)
+            snap["all_ok"] = False  # only the complete pass sets it
+            Path(args.out).write_text(json.dumps(snap, indent=1) + "\n")
+
     all_ok = True
     for kind in CORPUS_KINDS:
+        if kind in record["kinds"]:
+            print(f"{kind}: (resumed green)")
+            continue
         r = check_kind(kind, args.batch, args.frame_samples)
         record["kinds"][kind] = r
         all_ok = all_ok and r["parity_ok"]
         print(f"{kind}: {r}")
-    record["devpack"] = check_devpack(
-        args.batch, args.frame_samples, args.seed
-    )
+        checkpoint()
+    if "devpack" not in record:
+        record["devpack"] = check_devpack(
+            args.batch, args.frame_samples, args.seed
+        )
+        checkpoint()
     all_ok = all_ok and record["devpack"]["parity_ok"]
     print("devpack:", record["devpack"])
-    record["encpack"] = check_encpack(256, args.frame_samples, args.seed)
+    if "encpack" not in record:
+        record["encpack"] = check_encpack(256, args.frame_samples, args.seed)
+        checkpoint()
     all_ok = all_ok and record["encpack"]["parity_ok"]
     print("encpack:", record["encpack"])
-    record["fuzz"] = check_fuzz(args.fuzz, args.seed)
+    if "fuzz" not in record:
+        record["fuzz"] = check_fuzz(args.fuzz, args.seed)
+        checkpoint()
     all_ok = all_ok and record["fuzz"]["parity_ok"]
     print("fuzz:", record["fuzz"])
+    all_ok = all_ok and all(
+        record["kinds"].get(k, {}).get("parity_ok") for k in CORPUS_KINDS
+    )
     record["all_ok"] = all_ok
     if args.out:
         Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
