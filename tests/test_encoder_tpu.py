@@ -307,3 +307,39 @@ def test_device_pack_scatter_impl_byte_equal(rng, monkeypatch):
     assert encode_frames_tpu(frames, params, cfg) == _host_payloads(
         frames, params, cfg
     )
+
+
+@pytest.mark.parametrize("impl", ["gather", "scatter"])
+def test_device_pack_randomized_sweep(rng, impl, monkeypatch):
+    """Randomized property sweep for the device packers through the
+    full pipeline: random orders/quants/leftweights, random content
+    classes (tonal, noise, silence, tiny), random frame lengths and
+    mono/stereo mixes — payloads byte-identical to the host encoder."""
+    monkeypatch.setenv("ALAC_ENC_DEVICE_PACK", "1")
+    monkeypatch.setenv("ALAC_ENC_PACK_IMPL", impl)
+    for trial in range(12):
+        order = int(rng.choice([0, 1, 2, 4, 6, 8, 31]))
+        lw = int(rng.choice([0, 1, 2, 4]))
+        cfg = EncoderConfig(order=order, interlacing_leftweight=lw)
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        frames = []
+        for _ in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(1, S + 1))
+            ch = int(rng.choice([1, 2]))
+            kind = rng.random()
+            if kind < 0.3:
+                pcm = np.zeros((n, ch), np.int32)
+                if n > 3:
+                    pcm[n // 3, 0] = int(rng.integers(1, 50))
+            elif kind < 0.6:
+                pcm = rng.integers(-32768, 32767, (n, ch)).astype(np.int32)
+            else:
+                t = np.arange(n)
+                pcm = np.stack(
+                    [(3000 * np.sin(t * 0.07 + c)).astype(np.int32)
+                     for c in range(ch)], axis=1,
+                )
+            frames.append(pcm)
+        got = encode_frames_tpu(frames, params, cfg)
+        want = _host_payloads(frames, params, cfg)
+        assert got == want, f"trial {trial} order={order} lw={lw}"
