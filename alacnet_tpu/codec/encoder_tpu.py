@@ -383,7 +383,7 @@ def _pack(prep, planes, timings: dict | None):
     if (
         _enc_device_pack()
         and prep["extra_plane"] is None
-        and getattr(planes[0], "ndim", 2) == 2
+        and not prep.get("mesh")
     ):
         return _pack_device(prep, planes, timings)
     return _pack_host(prep, planes, timings)
@@ -585,6 +585,7 @@ def encode_frames_tpu(
         _t0 = _time.perf_counter()
         prep = _prep(chunk, params, cfg, enc)
         prep["real_frames"] = real
+        prep["mesh"] = mesh is not None
         planes = _dispatch(prep, params, cfg, mesh=mesh)  # async
         if timings is not None:
             timings["prep_s"] = (

@@ -189,8 +189,6 @@ def encode_stages_pcm_spmd(
     ``pcm`` (F, S, 2) int32, ``n``/``lp``/``rp`` in the flat (2F,) lane
     layout.  Returns (c0, c1, c2, ws, bits, bad) each (2, F, ...).
     """
-    import jax.numpy as jnp
-
     from ..ops.encode import RiceEncParams, encode_stages_pcm
     from ..ops.lpc import LpcParams
 

@@ -11,10 +11,11 @@ parity against the host packer for every sound K.
 Usage: python scripts/abtest_encpack.py [frames] [frame_samples]
 """
 
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np

@@ -226,6 +226,7 @@ def main() -> int:
     ap.add_argument("--fuzz", type=int, default=512)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--encpack-frames", type=int, default=256)
     ap.add_argument(
         "--resume", action="store_true",
         help="skip sections already green in --out (cold compiles over "
@@ -236,10 +237,20 @@ def main() -> int:
     args = ap.parse_args()
 
     assert jax.default_backend() == "tpu", jax.default_backend()
-    record = {"backend": "tpu", "kinds": {}, "batch": args.batch}
+    cfg = {
+        "batch": args.batch,
+        "frame_samples": args.frame_samples,
+        "fuzz_count": args.fuzz,
+        "seed": args.seed,
+        "encpack_frames": args.encpack_frames,
+    }
+    record = {"backend": "tpu", "kinds": {}, **cfg}
     if args.resume and args.out and Path(args.out).exists():
         prior = json.loads(Path(args.out).read_text())
-        if prior.get("batch") == args.batch:
+        # Reuse sections only when EVERY config knob matches — a green
+        # section from a different batch/frame-samples/seed (or one
+        # recorded before these fields existed) must re-run.
+        if all(prior.get(k) == v for k, v in cfg.items()):
             record["kinds"] = {
                 k: v for k, v in prior.get("kinds", {}).items()
                 if v.get("parity_ok")
@@ -272,7 +283,9 @@ def main() -> int:
     all_ok = all_ok and record["devpack"]["parity_ok"]
     print("devpack:", record["devpack"])
     if "encpack" not in record:
-        record["encpack"] = check_encpack(256, args.frame_samples, args.seed)
+        record["encpack"] = check_encpack(
+            args.encpack_frames, args.frame_samples, args.seed
+        )
         checkpoint()
     all_ok = all_ok and record["encpack"]["parity_ok"]
     print("encpack:", record["encpack"])
