@@ -39,6 +39,33 @@ from .parallel.pipeline import pad_frame_batch
 #: North-star: 1000x realtime, 44.1 kHz stereo (BASELINE.json).
 NORTH_STAR_MSAMPLES = 88.2
 
+
+def relay_reachable() -> bool:
+    """Best-effort fast-fail probe for the axon dev relay.
+
+    When the relay terminal is down, jax backend init retries the
+    device claim forever — callers would hang instead of failing.  A
+    refused TCP connect to the terminal port means certainly-down;
+    anything else (success, timeout, unresolvable) reads as reachable
+    so jax gets its normal chance.  Probe only applies under
+    AXON_LOOPBACK_RELAY; address overridable via ALAC_RELAY_PROBE.
+    """
+    import socket
+
+    if not os.environ.get("AXON_LOOPBACK_RELAY"):
+        return True
+    host, _, port = os.environ.get(
+        "ALAC_RELAY_PROBE", "127.0.0.1:8082"
+    ).rpartition(":")
+    try:
+        with socket.create_connection((host or "127.0.0.1", int(port)), 5):
+            return True
+    except ConnectionRefusedError:
+        return False
+    except OSError:
+        return True  # inconclusive — let jax try
+
+
 CORPUS_KINDS = ("music", "spiky", "silence", "orders", "hires24", "fat24")
 
 

@@ -223,8 +223,14 @@ def _cmd_stats(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    from .bench_lib import run_benchmark, run_e2e_benchmark, run_full_benchmark
+    from .bench_lib import (
+        relay_reachable, run_benchmark, run_e2e_benchmark,
+        run_full_benchmark,
+    )
 
+    if not relay_reachable():
+        print(json.dumps({"error": "relay_down"}))
+        return 1
     if args.full:
         result = run_full_benchmark(repeats=args.repeats)
     elif args.e2e:

@@ -11,34 +11,12 @@ publishes no numbers (BASELINE.md).
 """
 
 import json
-import os
-import socket
 
-
-def _relay_reachable() -> bool:
-    """Best-effort fast-fail probe for the axon dev relay.
-
-    When the relay terminal is down, jax backend init retries the claim
-    forever — the bench would hang instead of failing.  A refused TCP
-    connect to the terminal port means certainly-down; anything else
-    (success, timeout, unresolvable) proceeds normally.
-    """
-    if not os.environ.get("AXON_LOOPBACK_RELAY"):
-        return True
-    host, _, port = os.environ.get(
-        "ALAC_RELAY_PROBE", "127.0.0.1:8082"
-    ).rpartition(":")
-    try:
-        with socket.create_connection((host or "127.0.0.1", int(port)), 5):
-            return True
-    except ConnectionRefusedError:
-        return False
-    except OSError:
-        return True  # inconclusive — let jax try
+from alacnet_tpu.bench_lib import relay_reachable
 
 
 def main() -> None:
-    if not _relay_reachable():
+    if not relay_reachable():
         print(json.dumps({
             "metric": "sustained pipeline decode (UNAVAILABLE: axon relay "
                       "terminal down — TCP connect refused)",
