@@ -288,9 +288,13 @@ def _enc_device_pack() -> bool:
     """Opt-in device-side frame packing (ops/encode.pack_frames_device):
     the coded bytes leave the chip instead of ~13 B/sample of chunk
     planes, and the host pack stage drops to header-OR + slicing.
-    Off by default until measured on hardware (cf. rice_emit's recorded
-    negative result — 'obviously device-friendly' encode stages have
-    lost to their host/XLA baselines here before)."""
+    OFF by default — measured verdict on v5e (scripts/abtest_encpack.py,
+    512x4096x2 mixed corpus): gather K=10/18/34 = 1.2/0.7/0.4 Msps,
+    scatter = 9.4 Msps, vs ~224 Msps/core for the host packer.  Both
+    formulations lose by >20x (the rice_emit precedent, DESIGN.md §7,
+    repeated): per-bit-granularity word assembly is irreducibly
+    gather/scatter-bound and the VPU has no win over a scalar core
+    here.  Kept as an opt-in + parity-tested alternative backend."""
     import os
 
     return os.environ.get("ALAC_ENC_DEVICE_PACK", "0") == "1"
@@ -346,9 +350,9 @@ def _pack_device(prep, planes, timings: dict | None):
         jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["hbits"].astype(np.int32)),
     )
-    # Two bit-identical formulations (hardware picks the winner via
-    # scripts/abtest_encpack.py; flip here or via env once measured).
-    impl = os.environ.get("ALAC_ENC_PACK_IMPL", "gather")
+    # Two bit-identical formulations; hardware picked scatter (9.4 vs
+    # 1.2 Msps gather on v5e — scripts/abtest_encpack.py, 2026-08-18).
+    impl = os.environ.get("ALAC_ENC_PACK_IMPL", "scatter")
     if impl not in ("gather", "scatter"):
         raise ValueError(f"ALAC_ENC_PACK_IMPL must be gather/scatter, got {impl!r}")
     if impl == "scatter":
