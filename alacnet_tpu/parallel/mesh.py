@@ -131,9 +131,15 @@ def decode_frames_spmd_rows(
     sh = NamedSharding(mesh, spec)
     per_shard = ow.shape[0] // mesh.devices.size
     # The pallas gather needs TB-aligned per-shard lanes; otherwise the
-    # bit-identical XLA gather runs per shard (still on-device).
+    # bit-identical XLA gather runs per shard (still on-device).  Gate
+    # on the MESH devices' platform, not jax.default_backend(): a
+    # virtual CPU mesh in a process whose default backend is the TPU
+    # (the driver's dryrun after a single-chip compile check) must take
+    # the XLA gather — Pallas won't lower onto CPU shards.
     kernel_pack = (
-        jax.default_backend() == "tpu" and per_shard % TB == 0 and W % 256 == 0
+        mesh.devices.flat[0].platform == "tpu"
+        and per_shard % TB == 0
+        and W % 256 == 0
     )
 
     def fn(bw, o, nb, m):

@@ -82,13 +82,20 @@ MAX_ORDER_SENTINEL = 31
 
 
 def _fused_plan(
-    fb: FrameBatch, n_shards: int = 1, width: int | None = None
+    fb: FrameBatch, n_shards: int = 1, width: int | None = None,
+    platform: str | None = None,
 ) -> tuple[bool, int]:
     """Decide Pallas-vs-XLA and the static adaptive-walk bound.
 
     config.DEFAULT.kernel: "xla" forces the scan path; "fused" requires
     the structural constraints but skips the backend==tpu check (e.g. for
     interpreter experiments); "auto" is tpu-and-eligible.
+
+    ``platform``: the platform the decode will actually run on.  Under a
+    mesh this is the MESH devices' platform, which can differ from
+    ``jax.default_backend()`` (e.g. a virtual CPU mesh in a process
+    whose default backend is the axon TPU) — the process default must
+    not put a Pallas kernel onto CPU shards.
     """
     import jax
 
@@ -108,7 +115,7 @@ def _fused_plan(
     elif DEFAULT.kernel == "fused":
         use = eligible
     else:
-        use = eligible and jax.default_backend() == "tpu"
+        use = eligible and (platform or jax.default_backend()) == "tpu"
     orders = fb.order[fb.order != 31]
     max_order = int(orders.max()) if orders.size else 0
     # Round up to a small ladder: max_order is a static kernel argument,
@@ -204,14 +211,18 @@ def dispatch_frame_batch(
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
     n_shards = 1
+    platform = None
     if mesh is not None:
         n_shards = mesh.devices.size
+        platform = mesh.devices.flat[0].platform
         if fb.batch % n_shards:
             fb = pad_frame_batch(
                 fb, -(-fb.batch // n_shards) * n_shards
             )
     width = device_rows[3] if device_rows is not None else None
-    use_fused, max_order = _fused_plan(fb, n_shards, width=width)
+    use_fused, max_order = _fused_plan(
+        fb, n_shards, width=width, platform=platform
+    )
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     if mesh is not None:
         from .mesh import (

@@ -92,6 +92,45 @@ def test_decode_blob_over_mesh(devpack, monkeypatch):
     np.testing.assert_array_equal(st, ref_st)
 
 
+def test_decode_blob_cpu_mesh_under_tpu_default_backend(monkeypatch):
+    """Platform-mismatch regression: a CPU mesh in a process whose
+    DEFAULT backend is the TPU (the axon sitecustomize forces the axon
+    platform, so the driver's dryrun runs exactly this way after the
+    single-chip entry() compile check) must not route the Pallas
+    pack_rows/rice_lpc kernels onto the CPU shards.  Kernel selection
+    gates on the mesh devices' platform, not jax.default_backend()
+    (parallel/mesh.py kernel_pack, pipeline._fused_plan platform)."""
+    import numpy as np
+
+    import jax as jax_mod
+
+    from alacnet_tpu import config as cfg
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+    from alacnet_tpu.parallel.mesh import make_mesh
+    from alacnet_tpu.parallel.pipeline import decode_blob
+
+    monkeypatch.setattr(cfg.DEFAULT, "device_pack", True)
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=128)
+    enc = AlacEncoder(params, EncoderConfig(order=4))
+    rng = np.random.default_rng(23)
+    payloads = [
+        enc.encode_frame(rng.integers(-3000, 3000, (128, 2)).astype(np.int32))
+        for _ in range(16)
+    ]
+    sizes = np.array([len(p) for p in payloads], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    blob = np.frombuffer(b"".join(payloads), np.uint8)
+    ref_out, ref_n, ref_st = decode_blob(blob, offsets, sizes, params, 128)
+    mesh = make_mesh()
+    # Simulate the axon process default without needing real hardware.
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+    out, n, st = decode_blob(blob, offsets, sizes, params, 128, mesh=mesh)
+    np.testing.assert_array_equal(out, ref_out)
+    np.testing.assert_array_equal(n, ref_n)
+    np.testing.assert_array_equal(st, ref_st)
+
+
 def test_sharded_encode_byte_identical():
     """encode_frames_tpu(mesh=): DP-sharded encode over the 8-device
     mesh, byte-identical to the single-device device encoder — incl. a
