@@ -189,7 +189,7 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_hint",
+        "sub_hint", "interpret",
     ),
 )
 def decode_frames_packed(
@@ -201,6 +201,7 @@ def decode_frames_packed(
     emit16: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    interpret: bool = False,
 ):
     """decode_frames with metadata as one packed (B, N_PACKED) matrix.
 
@@ -211,7 +212,7 @@ def decode_frames_packed(
     return _decode_frames_impl(
         words, FrameMetaArrays.unpack(packed_meta), num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table, sub_hint=sub_hint,
+        whole_table=whole_table, sub_hint=sub_hint, interpret=interpret,
     )
 
 
@@ -219,7 +220,7 @@ def decode_frames_packed(
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_hint",
+        "sub_hint", "interpret",
     ),
 )
 def decode_frames(
@@ -231,6 +232,7 @@ def decode_frames(
     emit16: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    interpret: bool = False,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -256,7 +258,7 @@ def decode_frames(
     return _decode_frames_impl(
         words, meta, num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
-        whole_table=whole_table, sub_hint=sub_hint,
+        whole_table=whole_table, sub_hint=sub_hint, interpret=interpret,
     )
 
 
@@ -269,6 +271,7 @@ def _decode_frames_impl(
     emit16: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    interpret: bool = False,
 ):
     S = num_samples
     B = words.shape[0]
@@ -301,6 +304,7 @@ def _decode_frames_impl(
                 words, m.payload_pos, n_eb, ub8,
                 jnp.where(m.is_stereo, ub8, 0), S,
                 whole_table=whole_table, sub_hint=sub_hint,
+                interpret=interpret,
             ),
             zeros_bs3,
         )
@@ -317,7 +321,7 @@ def _decode_frames_impl(
             m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
             S, max_order=max_order, whole_table=whole_table,
-            sub_hint=sub_hint,
+            sub_hint=sub_hint, interpret=interpret,
         )
         # Channel B only exists for stereo lanes; skip the whole pass when
         # the batch is mono (a frozen scan still costs a full S-step loop).
@@ -330,7 +334,7 @@ def _decode_frames_impl(
                 m.rss, m.kmod, m.init_history, m.rice_mult[:, 1], m.kmask,
                 m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
                 S, max_order=max_order, whole_table=whole_table,
-                sub_hint=sub_hint,
+                sub_hint=sub_hint, interpret=interpret,
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )
@@ -365,6 +369,7 @@ def _decode_frames_impl(
                 words, m.payload_pos, n_raw, m.sample_size,
                 jnp.where(m.is_stereo, m.sample_size, 0), S,
                 whole_table=whole_table, sub_hint=sub_hint,
+                interpret=interpret,
             )
             return _extend_raw(ra, m), _extend_raw(rb, m), rst
 

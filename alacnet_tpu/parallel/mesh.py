@@ -72,6 +72,7 @@ def decode_frames_spmd(
     emit16: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    interpret: bool = False,
 ):
     """decode_frames over mesh-sharded inputs via shard_map.
 
@@ -90,6 +91,7 @@ def decode_frames_spmd(
             w, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
+            interpret=interpret,
         )
 
     # check_vma=False: decode_frames' lax.cond fast-skips pair a varying
@@ -114,6 +116,7 @@ def decode_frames_spmd_rows(
     emit16: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    interpret: bool = False,
 ):
     """Sharded decode with device-side row assembly (config.device_pack).
 
@@ -149,6 +152,7 @@ def decode_frames_spmd_rows(
             words, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
+            interpret=interpret,
         )
 
     bwords_r = jax.device_put(bwords, NamedSharding(mesh, P()))

@@ -87,9 +87,12 @@ def _fused_plan(
 ) -> tuple[bool, int]:
     """Decide Pallas-vs-XLA and the static adaptive-walk bound.
 
-    config.DEFAULT.kernel: "xla" forces the scan path; "fused" requires
-    the structural constraints but skips the backend==tpu check (e.g. for
-    interpreter experiments); "auto" is tpu-and-eligible.
+    config.DEFAULT.kernel: "xla" forces the scan path; "fused" skips the
+    backend==tpu check and runs the fused kernels even on CPU (Pallas
+    interpreter — dispatch_frame_batch pads the batch up to the kernel's
+    block granularity and sets interpret=True off-TPU, so "fused" means
+    fused); "auto" is tpu-and-eligible.  Only the width constraints can
+    still veto "fused": an over-wide frame has no fused formulation.
 
     ``platform``: the platform the decode will actually run on.  Under a
     mesh this is the MESH devices' platform, which can differ from
@@ -208,6 +211,8 @@ def dispatch_frame_batch(
     """
     from ..config import DEFAULT
 
+    import jax
+
     orig_b = fb.batch
     fb = pad_frame_batch(fb)
     n_shards = 1
@@ -219,10 +224,23 @@ def dispatch_frame_batch(
             fb = pad_frame_batch(
                 fb, -(-fb.batch // n_shards) * n_shards
             )
+    if DEFAULT.kernel == "fused":
+        # Forced-fused (tests / interpreter experiments): pad the lane
+        # count up to the kernel's block granularity so a small batch
+        # can't silently run the XLA path instead (the width
+        # constraints still apply — over-wide frames have no fused
+        # formulation).  Without this, every sub-FUSED_MIN_BATCH caller
+        # "testing the fused path" actually exercised the scan path.
+        blk = FUSED_MIN_BATCH * n_shards
+        if fb.batch % blk:
+            fb = pad_frame_batch(fb, -(-fb.batch // blk) * blk)
     width = device_rows[3] if device_rows is not None else None
     use_fused, max_order = _fused_plan(
         fb, n_shards, width=width, platform=platform
     )
+    # Pallas lowers only on TPU; anywhere else the fused path runs under
+    # the Pallas interpreter (bit-identical, slow — test/debug only).
+    interpret = use_fused and (platform or jax.default_backend()) != "tpu"
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     if mesh is not None:
         from .mesh import (
@@ -237,6 +255,7 @@ def dispatch_frame_batch(
                 FrameMetaArrays.pack_host(fb), mesh, max_samples,
                 use_fused=use_fused, max_order=max_order, emit16=emit16,
                 whole_table=whole_table, sub_hint=sub_hint,
+                interpret=interpret,
             )
             return out, n, orig_b
         words, meta = shard_frame_batch(fb, mesh)
@@ -244,6 +263,7 @@ def dispatch_frame_batch(
             words, meta, mesh, max_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
+            interpret=interpret,
         )
         return out, n, orig_b
     if device_rows is not None:
@@ -272,6 +292,7 @@ def dispatch_frame_batch(
         emit16=emit16,
         whole_table=whole_table,
         sub_hint=sub_hint,
+        interpret=interpret,
     )
     return out, n, orig_b
 

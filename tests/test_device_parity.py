@@ -88,3 +88,49 @@ def test_unsupported_channel_tag_raises():
     payload[0] = 0b01100000  # tag 3
     with pytest.raises(UnsupportedFormatError):
         parse_frame_headers([bytes(payload)], info.params)
+
+
+def test_forced_fused_pipeline_cpu(monkeypatch):
+    """kernel="fused" runs the fused kernels even on CPU: padded + interpreted.
+
+    Round-3 coverage bug: a sub-FUSED_MIN_BATCH batch under kernel="fused"
+    silently decoded via the XLA scan path (_fused_plan eligibility), so the
+    fused-kernel *integration* — bulk-bits extra-bits re-OR, raw-path
+    extraction, channel-B chaining off channel A's end positions — had zero
+    CPU coverage; only the kernels in isolation did.  dispatch_frame_batch
+    now pads forced-fused batches to the kernel block and interprets
+    off-TPU, making this the production-pipeline value test for that glue.
+    """
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.config import DEFAULT
+    from alacnet_tpu.ops.pallas import rice_lpc as _rl
+
+    S = 64  # samples/frame: keeps the interpreted kernels fast
+    calls = {"fused": 0}
+    real = _rl.fused_rice_lpc
+
+    def spy(*a, **kw):
+        calls["fused"] += 1
+        assert kw.get("interpret"), "CPU fused decode must interpret"
+        return real(*a, **kw)
+
+    monkeypatch.setattr(_rl, "fused_rice_lpc", spy)
+    monkeypatch.setattr(DEFAULT, "kernel", "fused")
+    cases = [
+        # extra-bits side channel: bulk_bits extraction + re-OR integration
+        (tone(40 * S, 2, 24, noise=3000.0), 24,
+         EncoderConfig(order=4, uncompressed_bytes=1), 96000),
+        # stereo 16-bit with a hassize partial tail frame
+        (tone(30 * S + 17, 2, 16), 16, EncoderConfig(order=6), 44100),
+        # mono: channel-B pass cond-skipped
+        (tone(10 * S, 1, 16, seed=5), 16, EncoderConfig(order=31), 44100),
+        # raw path: bulk_bits uncompressed extraction
+        (tone(8 * S, 2, 16, seed=11), 16,
+         EncoderConfig(force_uncompressed=True), 44100),
+    ]
+    for pcm, bits, cfg, rate in cases:
+        data = encode_to_bytes(pcm, rate, bits, cfg, max_samples_per_frame=S)
+        got = device_decode(data)
+        src = pcm if pcm.ndim == 2 else pcm[:, None]
+        np.testing.assert_array_equal(got, src)
+    assert calls["fused"] > 0, "fused path never ran under kernel='fused'"
