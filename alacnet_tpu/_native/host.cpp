@@ -205,7 +205,7 @@ int64_t alac_parse_headers(
   return first_bad < 0 ? 0 : 1 + first_bad;
 }
 
-int32_t alac_native_abi_version() { return 3; }
+int32_t alac_native_abi_version() { return 4; }
 
 // Batched windowed autocorrelation for the encoder's Levinson stage:
 // r[k*B + b] = sum_s x[b,s] * x[b,s+k], k = 0..order, over the
@@ -286,15 +286,22 @@ struct BitWriter {
   }
 };
 
-// Frame-local writer: 64-bit accumulator, whole-word big-endian stores
-// (no per-byte read-modify-write).  Only valid when one writer produces
-// the whole buffer from bit 0 (alac_pack_symbol_frames); the continuing
-// writers (alac_rice_encode / alac_pack_bits append at arbitrary bit
-// positions into shared buffers) keep the RMW BitWriter above.
+// Frame-local writer: 128-bit accumulator, whole 64-bit big-endian
+// stores (no per-byte read-modify-write).  Only valid when one writer
+// produces the whole buffer from bit 0 (alac_pack_symbol_frames /
+// alac_pack_chunk_frames); the continuing writers (alac_rice_encode /
+// alac_pack_bits append at arbitrary bit positions into shared
+// buffers) keep the RMW BitWriter above.
+//
+// The 128-bit accumulator (vs the earlier 64-bit/32-bit-flush form)
+// halves flush checks AND lets callers pre-combine several narrow
+// fields into one push64 — the pack loop's serial dependency is the
+// accumulator chain, so fewer/wider pushes are the whole ballgame
+// (measured 1.7-1.8x on the chunk packer, DESIGN.md §7).
 struct FastBitWriter {
   uint8_t* out;
   int64_t bytepos = 0;
-  uint64_t acc = 0;
+  unsigned __int128 acc = 0;
   int nbits = 0;
   explicit FastBitWriter(uint8_t* o) : out(o) {}
   inline void write(uint32_t value, int bits) {
@@ -302,15 +309,16 @@ struct FastBitWriter {
     value &= bits >= 32 ? 0xFFFFFFFFu : ((1u << bits) - 1u);
     push(value, bits);
   }
-  // Pre-masked fast path (value already < 2^bits); bits may be 0.
-  inline void push(uint32_t value, int bits) {
+  inline void push(uint32_t value, int bits) { push64(value, bits); }
+  // Pre-masked fast path (value already < 2^bits); bits in [0, 64].
+  inline void push64(uint64_t value, int bits) {
     acc = (acc << bits) | value;
     nbits += bits;
-    if (nbits >= 32) {
-      const uint32_t v = __builtin_bswap32(uint32_t(acc >> (nbits - 32)));
-      std::memcpy(out + bytepos, &v, 4);
-      bytepos += 4;
-      nbits -= 32;
+    if (nbits >= 64) {
+      const uint64_t v = __builtin_bswap64(uint64_t(acc >> (nbits - 64)));
+      std::memcpy(out + bytepos, &v, 8);
+      bytepos += 8;
+      nbits -= 64;
     }
   }
   // Flush the partial tail (zero-padded low bits); returns end bit pos.
@@ -320,7 +328,7 @@ struct FastBitWriter {
     while (rem > 0) {
       const int take = rem >= 8 ? 8 : rem;
       out[bytepos++] =
-          uint8_t((uint32_t(acc >> (rem - take)) << (8 - take)) & 0xFF);
+          uint8_t((uint64_t(acc >> (rem - take)) << (8 - take)) & 0xFF);
       rem -= take;
     }
     nbits = 0;
@@ -385,8 +393,9 @@ int64_t alac_pack_bits(const uint32_t* vals, const uint8_t* widths,
 // (ops/encode.py rice_symbols) + per-frame ragged header/extra fields.
 // Planes: v16 (B,S,2) marker fields, v32 (B,S,2) remainder fields,
 // wid (B,S,4) widths in emission order v0,v1,v2,v3; lane f is channel A
-// of frame f and lane F+f is channel B (stereo only). Output rows are
-// pre-zeroed (F, out_stride) bytes; returns per-frame end bit positions.
+// of frame f and lane F+f is channel B (stereo only). Output rows need
+// no pre-zeroing (every byte below each frame's end position is stored
+// exactly once); returns per-frame end bit positions.
 void alac_pack_symbol_frames(
     const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
     const uint16_t* v16, const uint32_t* v32, const int8_t* wid,
@@ -408,16 +417,16 @@ void alac_pack_symbol_frames(
         const int w2 = uint8_t(pw[4 * i + 2]);
         const int w3 = uint8_t(pw[4 * i + 3]);
         const int total = w0 + w1 + w2 + w3;
-        if (total <= 32) {
+        if (total <= 64) {
           // Typical symbol (short unary + k-bit remainder): fold the
           // four fields into ONE accumulator push instead of four
           // mask/shift/store sequences.  Each width <= 32 here, so the
-          // uint64 masks are well-defined.
+          // uint64 masks are well-defined and the fold fits 64 bits.
           uint64_t v = pv16[2 * i] & ((uint64_t(1) << w0) - 1);
           v = (v << w1) | (pv32[2 * i] & ((uint64_t(1) << w1) - 1));
           v = (v << w2) | (pv16[2 * i + 1] & ((uint64_t(1) << w2) - 1));
           v = (v << w3) | (pv32[2 * i + 1] & ((uint64_t(1) << w3) - 1));
-          w.push(uint32_t(v), total);
+          w.push64(v, total);
         } else {
           w.write(pv16[2 * i], w0);
           w.write(pv32[2 * i], w1);
@@ -531,6 +540,64 @@ void alac_predictor_errors(const int32_t* sig, int64_t n, int32_t* coefs,
 
 }  // extern "C"
 
+namespace {
+
+// One-pass Levinson-window decorrelation (encoder prep).  Replaces the
+// ~6 NumPy passes in codec/encoder_tpu._prep's window block (astype,
+// sub, mul/shift/add, 2x where, 2x copyto) with a single read of the
+// PCM window and a single write of the (2F, w) signal matrix.
+// WideT = int64 when products may pass 2^31 (24-bit no-extra-bits
+// content), int32 otherwise — matching the NumPy work_dtype exactly
+// (int32 arithmetic wraps; -fwrapv makes that defined here).
+template <typename WideT>
+void decorr_window_impl(const int32_t* pcm, int64_t F, int64_t S,
+                        int64_t w, int ub8, int32_t lw, int32_t sh,
+                        const uint8_t* stereo, int32_t* sig) {
+#pragma omp parallel for schedule(static)
+  for (int64_t f = 0; f < F; ++f) {
+    const int32_t* p = pcm + f * S * 2;
+    int32_t* sa = sig + f * w;
+    int32_t* sb = sig + (F + f) * w;
+    if (!stereo[f]) {
+      for (int64_t i = 0; i < w; ++i) {
+        sa[i] = int32_t(WideT(p[2 * i] >> ub8));
+        sb[i] = 0;
+      }
+      continue;
+    }
+    if (lw == 0) {
+      for (int64_t i = 0; i < w; ++i) {
+        sa[i] = int32_t(WideT(p[2 * i] >> ub8));
+        sb[i] = int32_t(WideT(p[2 * i + 1] >> ub8));
+      }
+      continue;
+    }
+    for (int64_t i = 0; i < w; ++i) {
+      const WideT h0 = WideT(p[2 * i] >> ub8);
+      const WideT h1 = WideT(p[2 * i + 1] >> ub8);
+      const WideT cb = WideT(h0 - h1);
+      const WideT ca = WideT(h1 + ((cb * lw) >> sh));
+      sa[i] = int32_t(ca);
+      sb[i] = int32_t(cb);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// See decorr_window_impl; `wide` selects the int64 work type.
+void alac_decorr_window(const int32_t* pcm, int64_t F, int64_t S,
+                        int64_t w, int32_t ub8, int32_t lw, int32_t sh,
+                        const uint8_t* stereo, int32_t wide,
+                        int32_t* sig) {
+  if (wide) decorr_window_impl<int64_t>(pcm, F, S, w, ub8, lw, sh, stereo, sig);
+  else decorr_window_impl<int32_t>(pcm, F, S, w, ub8, lw, sh, stereo, sig);
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Assemble coded frames from device-merged 96-bit sample chunks
@@ -557,7 +624,19 @@ void alac_pack_chunk_frames(
     if (extra_w != nullptr && extra_w[f] != 0) {
       const int eb = extra_w[f];
       const uint32_t* pe = extra + f * S;
-      for (int64_t i = 0; i < nf; ++i) w.write(pe[i], eb);
+      const uint32_t em = eb >= 32 ? 0xFFFFFFFFu : ((1u << eb) - 1u);
+      int64_t i = 0;
+      if (eb <= 16) {
+        // Equal-width plane: fold four fields per accumulator push.
+        for (; i + 3 < nf; i += 4) {
+          uint64_t v = pe[i] & em;
+          v = (v << eb) | (pe[i + 1] & em);
+          v = (v << eb) | (pe[i + 2] & em);
+          v = (v << eb) | (pe[i + 3] & em);
+          w.push64(v, 4 * eb);
+        }
+      }
+      for (; i < nf; ++i) w.write(pe[i], eb);
     }
     const int64_t nch = stereo[f] ? 2 : 1;
     for (int64_t c = 0; c < nch; ++c) {
@@ -566,18 +645,44 @@ void alac_pack_chunk_frames(
       const uint32_t* p1 = c1 + lane * S;
       const uint32_t* p2 = c2 + lane * S;
       const int8_t* pw = ws + lane * S;
-      for (int64_t i = 0; i < nf; ++i) {
-        const int bits = pw[i];
-        if (bits <= 32) {
-          w.push(p2[i], bits);
-        } else if (bits <= 64) {
-          w.push(p1[i], bits - 32);
-          w.push(p2[i], 32);
-        } else {
-          w.push(p0[i], bits - 64);
-          w.push(p1[i], 32);
-          w.push(p2[i], 32);
+      // Quad/single combine ladder: pre-fold four neighbouring
+      // samples into one accumulator push when their widths fit 64
+      // bits.  The folds are independent of the accumulator chain, so
+      // the CPU overlaps them; the serial chain shrinks to one
+      // push64 per 4 (typ.) samples — measured 2x over the per-sample
+      // ladder on real planes (DESIGN.md §7).  The miss path MUST
+      // stay a simple inline field-by-field ladder: both a pair-fold
+      // fallback and an out-of-line helper (which forces the writer
+      // state to spill to memory every iteration) each cost 2x on the
+      // hot path, measured at a 0.1% miss rate (same section).  The
+      // <= 63 sub-guards keep the intra-fold shift amounts defined
+      // even for degenerate zero-width symbols (can't occur in
+      // conforming streams, but the packer is property-tested on
+      // adversarial planes).
+      int64_t i = 0;
+      for (; i + 3 < nf; i += 4) {
+        const int b0 = pw[i], b1 = pw[i + 1], b2 = pw[i + 2], b3 = pw[i + 3];
+        const int b01 = b0 + b1, b23 = b2 + b3;
+        if (b01 + b23 <= 64 && b1 <= 63 && b3 <= 63 && b23 <= 63) {
+          const uint64_t v0 = (uint64_t(p1[i]) << 32) | p2[i];
+          const uint64_t v1 = (uint64_t(p1[i + 1]) << 32) | p2[i + 1];
+          const uint64_t v2 = (uint64_t(p1[i + 2]) << 32) | p2[i + 2];
+          const uint64_t v3 = (uint64_t(p1[i + 3]) << 32) | p2[i + 3];
+          w.push64(((v0 << b1) | v1) << b23 | (v2 << b3) | v3, b01 + b23);
+          continue;
         }
+        for (int t = 0; t < 4; ++t) {
+          const int bits = pw[i + t];
+          const uint64_t lo = (uint64_t(p1[i + t]) << 32) | p2[i + t];
+          if (bits <= 64) w.push64(lo, bits);
+          else { w.push64(p0[i + t], bits - 64); w.push64(lo, 64); }
+        }
+      }
+      for (; i < nf; ++i) {
+        const int bits = pw[i];
+        const uint64_t lo = (uint64_t(p1[i]) << 32) | p2[i];
+        if (bits <= 64) w.push64(lo, bits);
+        else { w.push64(p0[i], bits - 64); w.push64(lo, 64); }
       }
     }
     end_bits[f] = w.finish();

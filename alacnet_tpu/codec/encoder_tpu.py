@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
 from ..ops.lpc import MAX_ORDER, LpcParams, reverse_coefs
 from .cookie import CodecParams
 from .encoder import AlacEncoder, EncoderConfig, levinson_coefs_batch
@@ -149,20 +150,26 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
         w = min(cfg.levinson_window or S, S)
         # Window-only host decorrelation: Levinson reads just the first
         # w samples of each lane, and decorrelation is per-sample, so
-        # the windowed fold equals the full fold's prefix.
-        work_dtype = np.int64 if wide else np.int32
-        hiw = pcm_i32[:, :w].astype(work_dtype)
-        if ub8:
-            hiw >>= ub8
-        if lw != 0:
-            cbw = hiw[:, :, 0] - hiw[:, :, 1]
-            caw = hiw[:, :, 1] + ((cbw * lw) >> sh)
-        else:
-            caw, cbw = hiw[:, :, 0], hiw[:, :, 1]
-        stw = stereo_f[:, None]
-        sig_w = np.empty((B, w), np.int32)
-        np.copyto(sig_w[:F], np.where(stw, caw, hiw[:, :, 0]))
-        np.copyto(sig_w[F:], np.where(stw, cbw, 0))
+        # the windowed fold equals the full fold's prefix.  Native
+        # tier: one fused pass (alac_decorr_window, bit-identical by
+        # matching the work dtype) vs ~6 NumPy array sweeps.
+        sig_w = native.decorr_window_native(
+            pcm_i32, w, ub8, lw, sh, stereo_f, wide
+        )
+        if sig_w is None:
+            work_dtype = np.int64 if wide else np.int32
+            hiw = pcm_i32[:, :w].astype(work_dtype)
+            if ub8:
+                hiw >>= ub8
+            if lw != 0:
+                cbw = hiw[:, :, 0] - hiw[:, :, 1]
+                caw = hiw[:, :, 1] + ((cbw * lw) >> sh)
+            else:
+                caw, cbw = hiw[:, :, 0], hiw[:, :, 1]
+            stw = stereo_f[:, None]
+            sig_w = np.empty((B, w), np.int32)
+            np.copyto(sig_w[:F], np.where(stw, caw, hiw[:, :, 0]))
+            np.copyto(sig_w[F:], np.where(stw, cbw, 0))
         coef_mat = levinson_coefs_batch(
             sig_w, np.minimum(ns, w), order, cfg.quant
         )

@@ -90,7 +90,7 @@ def get_lib() -> ctypes.CDLL | None:
                 return None
             lib = ctypes.CDLL(str(path))
             lib.alac_native_abi_version.restype = ctypes.c_int32
-            if lib.alac_native_abi_version() != 3:
+            if lib.alac_native_abi_version() != 4:
                 return None
             lib.alac_pack_frames.argtypes = [
                 _U8P, ctypes.c_int64, _I64P, _I64P,
@@ -134,6 +134,12 @@ def get_lib() -> ctypes.CDLL | None:
                 _U8P, ctypes.c_int64, _I64P,
             ]
             lib.alac_pack_chunk_frames.restype = None
+            lib.alac_decorr_window.argtypes = [
+                _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _U8P, ctypes.c_int32, _I32P,
+            ]
+            lib.alac_decorr_window.restype = None
             lib.alac_autocorr.argtypes = [
                 _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
                 np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -283,7 +289,9 @@ def pack_symbol_frames_native(
     if lib is None:
         return None
     F = len(n)
-    out = np.zeros((F, out_stride), np.uint8)
+    # FastBitWriter stores every byte below each frame's end position
+    # exactly once, so the rows need no pre-zeroing.
+    out = np.empty((F, out_stride), np.uint8)
     end_bits = np.zeros(F, np.int64)
     lib.alac_pack_symbol_frames(
         np.ascontiguousarray(hv, np.uint32),
@@ -319,7 +327,9 @@ def pack_chunk_frames_native(
     if lib is None:
         return None
     F = len(n)
-    out = np.zeros((F, out_stride), np.uint8)
+    # FastBitWriter stores every byte below each frame's end position
+    # exactly once, so the rows need no pre-zeroing.
+    out = np.empty((F, out_stride), np.uint8)
     end_bits = np.zeros(F, np.int64)
     if extra is None:
         extra = np.zeros(1, np.uint32)
@@ -343,6 +353,34 @@ def pack_chunk_frames_native(
         end_bits,
     )
     return out, end_bits
+
+
+def decorr_window_native(
+    pcm_i32: np.ndarray, w: int, ub8: int, lw: int, sh: int,
+    stereo_f: np.ndarray, wide: bool,
+) -> np.ndarray | None:
+    """Fused Levinson-window decorrelation: (F, S, 2) int32 PCM ->
+    (2F, w) int32 signal lanes [A of all frames, B of all frames], or
+    None when the native tier is unavailable.
+
+    One read of the PCM window + one write of the signal matrix vs the
+    NumPy fallback's ~6 passes (codec/encoder_tpu._prep); arithmetic is
+    performed in the same work dtype NumPy uses (int64 when ``wide``,
+    wrapping int32 otherwise), so the outputs are bit-identical.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pcm_i32 = np.ascontiguousarray(pcm_i32, np.int32)
+    F, S, _ = pcm_i32.shape
+    sig = np.empty((2 * F, w), np.int32)
+    lib.alac_decorr_window(
+        pcm_i32, np.int64(F), np.int64(S), np.int64(w),
+        np.int32(ub8), np.int32(lw), np.int32(sh),
+        np.ascontiguousarray(stereo_f, np.uint8), np.int32(bool(wide)),
+        sig,
+    )
+    return sig
 
 
 def autocorr_native(x, order: int):
