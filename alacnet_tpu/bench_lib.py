@@ -992,10 +992,14 @@ def run_encode_benchmark(
         force = force + jnp.sum(v)
     force.item()
 
+    from .codec.encoder_tpu import _enc_kernel
+
+    enc_kernel = _enc_kernel(None)  # fused on TPU — the production path
+
     def stages(v):
         return encode_stages_pcm(
             v, stereo, ns, lp, rp, S, max_order=6, lw=1, sh=1,
-            wide=bits > 16,
+            wide=bits > 16, kernel=enc_kernel,
         )
 
     *_, bits0, _bad = stages(vs[-1])
@@ -1076,6 +1080,7 @@ def run_encode_benchmark(
         "encode_host_cores": n_cores,
         "encode_device_msps": round(dev_msps, 3),
         "encode_device_s": round(dev_s, 5),
+        "encode_stage_kernel": enc_kernel,
         "encode_prep_msps": round(prep_msps, 3),
         "encode_pack_msps": round(pack_msps, 3),
         # Tunnel-inclusive wall (chunk-plane D2H over the dev relay —

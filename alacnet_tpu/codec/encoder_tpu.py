@@ -243,6 +243,33 @@ def _prep(frames, params: CodecParams, cfg: EncoderConfig, enc: AlacEncoder):
     }
 
 
+def _enc_kernel(platform: str | None) -> str:
+    """Device-encode automaton backend: the fused Pallas kernels
+    (ops/pallas/enc_stages.py) on TPU — measured 5.6x over the lax.scan
+    path (281 -> 1560 Msps-pcm at the pipeline's 1024-frame chunk,
+    DESIGN.md §7d) — the XLA scans elsewhere.  ``platform`` is the mesh
+    devices' platform when a mesh is in play (never gate a mesh path on
+    the process default backend — the axon sitecustomize can report
+    "tpu" in a CPU-mesh script).  ALAC_ENC_KERNEL=fused forces the
+    fused form everywhere (Pallas interpreter off-TPU: bit-identical,
+    test-speed only); =xla forces the scans."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("ALAC_ENC_KERNEL", "auto")
+    if mode not in ("auto", "fused", "xla"):
+        raise ValueError(
+            f"ALAC_ENC_KERNEL={mode!r}: expected auto, fused or xla"
+        )
+    if mode == "xla":
+        return "xla"
+    plat = platform or jax.default_backend()
+    if plat == "tpu":
+        return "fused"
+    return "fused-interpret" if mode == "fused" else "xla"
+
+
 def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None):
     """Stage the prepped batch onto the device (async); with a mesh,
     DP-shard the frames (parallel.mesh.encode_stages_pcm_spmd)."""
@@ -283,11 +310,13 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None):
             prep["pcm"], prep["stereo_f"], prep["ns"], lp, rp, mesh, S,
             max_order=max_order, lw=prep["lw"], sh=prep["sh"],
             ub8=prep["ub8"], wide=prep["wide"],
+            kernel=_enc_kernel(mesh.devices.flat[0].platform),
         )
     return encode_stages_pcm(
         jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["ns"]), lp, rp, S, max_order=max_order,
         lw=prep["lw"], sh=prep["sh"], ub8=prep["ub8"], wide=prep["wide"],
+        kernel=_enc_kernel(None),
     )
 
 
@@ -539,7 +568,15 @@ def encode_frames_tpu(
     F = len(frames)
     if F == 0:
         return []
-    step = chunk_frames or CHUNK_FRAMES
+    # A mesh multiplies the chunk so every shard still sees a full
+    # device batch — and at least the fused encode kernel's 1024-lane
+    # (512-frame) block granularity, which pads per SHARD
+    # (ops/pallas/enc_stages.py): an undersized shard would burn up to
+    # 4x of its lanes on padding.
+    step = chunk_frames or (
+        CHUNK_FRAMES * mesh.devices.size if mesh is not None
+        else CHUNK_FRAMES
+    )
     payloads: list[bytes] = []
 
     # Pack runs on a worker thread: the native packer (ctypes) and the

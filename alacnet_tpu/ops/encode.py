@@ -126,7 +126,11 @@ def predictor_errors(
     D0 = jnp.where(append_hot, x0[:, None], jnp.zeros((B, tmax + 1), I32))
     init = (x0, D0, params.rc.astype(I32)[:, : tmax + 1])
     xs = (jnp.arange(1, num_samples, dtype=I32), sig_t[1:])
-    (_, _, _), errs = jax.lax.scan(step, init, xs)
+    # unroll=2: amortizes per-step scan overhead — measured 301 -> 502
+    # Msps at B=1024 lanes on v5e (the pipeline's chunk scale); neutral
+    # at B=8192 where the VPU is already saturated.  Deeper unrolls
+    # regress (412 at 4).
+    (_, _, _), errs = jax.lax.scan(step, init, xs, unroll=2)
     err0 = jnp.where(n > 0, x0, jnp.zeros_like(x0))
     return jnp.concatenate([err0[None, :], errs], axis=0).T
 
@@ -258,7 +262,10 @@ def rice_symbols(errs, zruns, n, params: RiceEncParams, num_samples: int):
     z = jnp.zeros((B,), I32)
     init = (params.init_history.astype(I32), z, z, jnp.zeros((B,), bool))
     xs = (jnp.arange(num_samples, dtype=I32), errs_t, zr_t)
-    (h, s, sk, bad), (vals16, vals32, widths) = jax.lax.scan(step, init, xs)
+    # unroll=2: same per-step-overhead amortization as predictor_errors.
+    (h, s, sk, bad), (vals16, vals32, widths) = jax.lax.scan(
+        step, init, xs, unroll=2
+    )
     return (
         vals16.transpose(1, 0, 2),
         vals32.transpose(1, 0, 2),
@@ -314,9 +321,11 @@ def merge_symbol_chunks(vals16, vals32, widths):
     return h, m, l, ws.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "max_order"))
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "max_order", "kernel")
+)
 def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
-                  max_order: int = MAX_ORDER):
+                  max_order: int = MAX_ORDER, kernel: str = "xla"):
     """One-dispatch device encode: residuals -> zero-run lookahead ->
     rice symbols -> merged chunk planes.
 
@@ -325,7 +334,22 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     sample of D2H vs 16 for the raw symbol planes, and the per-lane bit
     totals come back as one (B,) vector instead of a host-side
     reduction over the width planes.
+
+    ``kernel``: "xla" = the lax.scan automatons below; "fused" /
+    "fused-interpret" = the Pallas kernels (ops/pallas/enc_stages.py),
+    bit-identical and measured 5.6x on v5e (281 -> 1560 Msps-pcm at the
+    pipeline's 1024-frame chunk; see DESIGN.md §7d).  Callers gate on
+    the platform (codec/encoder_tpu._dispatch) — the fused form only
+    compiles on TPU ("fused-interpret" runs the Pallas interpreter
+    elsewhere, bit-identical but test-speed only).
     """
+    if kernel != "xla":
+        from .pallas.enc_stages import encode_stages_fused
+
+        return encode_stages_fused(
+            sig, n, lp, rp, num_samples, max_order=max_order,
+            interpret=kernel == "fused-interpret",
+        )
     errs = predictor_errors(sig, n, lp, num_samples, max_order=max_order)
     zr = zero_run_lengths(errs, n, num_samples)
     v16, v32, widths, bad = rice_symbols(errs, zr, n, rp, num_samples)
@@ -336,12 +360,14 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_samples", "max_order", "lw", "sh", "ub8", "wide"),
+    static_argnames=(
+        "num_samples", "max_order", "lw", "sh", "ub8", "wide", "kernel",
+    ),
 )
 def encode_stages_pcm(
     pcm, stereo, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     max_order: int = MAX_ORDER, lw: int = 0, sh: int = 0, ub8: int = 0,
-    wide: bool = False,
+    wide: bool = False, kernel: str = "xla",
 ):
     """:func:`encode_stages` fed raw interleaved PCM.
 
@@ -387,7 +413,9 @@ def encode_stages_pcm(
             jnp.where(st, cb, 0).astype(I32),
         ]
     )
-    return encode_stages(sig, n, lp, rp, num_samples, max_order=max_order)
+    return encode_stages(
+        sig, n, lp, rp, num_samples, max_order=max_order, kernel=kernel
+    )
 
 # ---------------------------------------------------------------------------
 # Device-side frame packing (round 3): the coded BYTES leave the chip.

@@ -183,6 +183,7 @@ def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
 def encode_stages_pcm_spmd(
     pcm, stereo, n, lp, rp, mesh: Mesh, num_samples: int,
     max_order: int, lw: int, sh: int, ub8: int, wide: bool,
+    kernel: str = "xla",
 ):
     """ops/encode.encode_stages_pcm over a frame-sharded mesh — the
     encode mirror of :func:`decode_frames_spmd` (DP over frames, zero
@@ -232,7 +233,7 @@ def encode_stages_pcm_spmd(
             LpcParams(*(flat(x) for x in lp_l)),
             RiceEncParams(*(flat(x) for x in rp_l)),
             num_samples, max_order=max_order, lw=lw, sh=sh, ub8=ub8,
-            wide=wide,
+            wide=wide, kernel=kernel,
         )
         return tuple(two(x) for x in out)
 

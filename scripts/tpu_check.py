@@ -170,6 +170,61 @@ def check_encpack(frames: int, frame_samples: int, seed: int) -> dict:
     }
 
 
+def check_encstage(frames: int, frame_samples: int, seed: int) -> dict:
+    """Fused encode automatons (ops/pallas/enc_stages.py compiled on
+    hardware) vs the XLA scan path: byte-identical payloads through the
+    full pipeline over mixed content (music, silence zero-runs, noise
+    escapes, mono, partial frames, order 0/6/31, 24-bit extra-bits).
+    Pins the compiled lowering of the predictor window/adaptive walk
+    and the rice emit + chunk merge."""
+    import os
+
+    from alacnet_tpu.bench_lib import _music_pcm
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.codec.encoder_tpu import encode_frames_tpu
+
+    rng = np.random.default_rng(seed)
+    S = frame_samples
+    t0 = time.time()
+    ok = True
+    saved = os.environ.get("ALAC_ENC_KERNEL")
+
+    def both(params, fr, cfg):
+        os.environ["ALAC_ENC_KERNEL"] = "xla"
+        want = encode_frames_tpu(fr, params, cfg)
+        os.environ["ALAC_ENC_KERNEL"] = "fused"
+        got = encode_frames_tpu(fr, params, cfg)
+        return got == want
+
+    try:
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        pcm = _music_pcm(frames * S, 16, 2, rng)
+        pcm[2 * S : 4 * S] = 0
+        pcm[5 * S : 6 * S] = rng.integers(-32768, 32767, (S, 2))
+        fr = [pcm[i * S : (i + 1) * S] for i in range(frames)]
+        fr[1] = fr[1][: S // 2 + 7]  # partial
+        fr[3] = fr[3][:, :1]  # mono
+        for order in (0, 6, 31):
+            ok = ok and both(params, fr, EncoderConfig(order=order))
+        p24 = default_cookie(96000, 24, 2, max_samples_per_frame=S)
+        pcm24 = _music_pcm(8 * S, 24, 2, rng)
+        fr24 = [pcm24[i * S : (i + 1) * S] for i in range(8)]
+        ok = ok and both(
+            p24, fr24, EncoderConfig(order=6, uncompressed_bytes=1)
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("ALAC_ENC_KERNEL", None)
+        else:
+            os.environ["ALAC_ENC_KERNEL"] = saved
+    return {
+        "parity_ok": bool(ok),
+        "frames": frames,
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def check_fuzz(count: int, seed: int) -> dict:
     """Compiled fused == XLA == scalar oracle on random-body payloads."""
     from tests.test_fuzz_differential import S as FS
@@ -255,7 +310,7 @@ def main() -> int:
                 k: v for k, v in prior.get("kinds", {}).items()
                 if v.get("parity_ok")
             }
-            for sec in ("devpack", "encpack", "fuzz"):
+            for sec in ("devpack", "encpack", "encstage", "fuzz"):
                 if prior.get(sec, {}).get("parity_ok"):
                     record[sec] = prior[sec]
 
@@ -289,6 +344,13 @@ def main() -> int:
         checkpoint()
     all_ok = all_ok and record["encpack"]["parity_ok"]
     print("encpack:", record["encpack"])
+    if "encstage" not in record:
+        record["encstage"] = check_encstage(
+            args.encpack_frames, args.frame_samples, args.seed
+        )
+        checkpoint()
+    all_ok = all_ok and record["encstage"]["parity_ok"]
+    print("encstage:", record["encstage"])
     if "fuzz" not in record:
         record["fuzz"] = check_fuzz(args.fuzz, args.seed)
         checkpoint()

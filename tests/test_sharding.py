@@ -152,3 +152,27 @@ def test_sharded_encode_byte_identical():
     mesh = make_mesh(jax.devices()[:8])
     got = encode_frames_tpu(frames, params, cfg, mesh=mesh)
     assert got == want
+
+
+def test_sharded_encode_fused_kernel_byte_identical(monkeypatch):
+    """encode_frames_tpu(mesh=) with the fused encode kernels forced
+    (ALAC_ENC_KERNEL=fused -> Pallas interpreter on the CPU mesh,
+    enc_stages running inside shard_map): byte-identical to the XLA
+    scan path.  Small shapes — the interpreter pads each shard to the
+    kernel's 1024-lane granularity."""
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.codec.encoder_tpu import encode_frames_tpu
+    from alacnet_tpu.parallel.mesh import make_mesh
+
+    S = 256
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=4)
+    frames = [tone(S, 2, 16, seed=i) for i in range(8)]
+    frames[2] = np.zeros((S, 2), np.int32)
+    frames[5] = tone(S // 2 + 3, 2, 16, seed=7)
+    mesh = make_mesh(jax.devices()[:4])
+    want = encode_frames_tpu(frames, params, cfg, mesh=mesh)
+    monkeypatch.setenv("ALAC_ENC_KERNEL", "fused")
+    got = encode_frames_tpu(frames, params, cfg, mesh=mesh)
+    assert got == want
