@@ -80,19 +80,40 @@ def _signext(x, rss):
     return _sra(_shl(x, sh), sh)
 
 
-def _emit_sym(raw, rss, k, mask):
-    """(v0,w0,v1,w1) bit fields for one entropy symbol — the exact op
-    sequence of ops/encode._emit_sym (AlacFile.cs:193-212 run forward),
-    on (sub, LN) int32 tiles."""
+def _emit_sym(raw, rss, k, mask, pure_pow2: bool = False):
+    """(v0,w0,v1,w1) bit fields for one entropy symbol — bit-exact to
+    ops/encode._emit_sym (AlacFile.cs:193-212 run forward), on
+    (sub, LN) int32 tiles.
+
+    ``pure_pow2``: statically promises ``mask`` = -1, so m = 2^k-1 and
+    the 9-step conditional-subtraction ladder collapses to a shift
+    estimate + 3 corrections — proven exact against the ladder for all
+    k >= 2 and raw >= 0 over the full non-escape domain plus escape
+    detection (exhaustive sweep; k == 1 lanes take the is_k1 branch
+    below and raw < 0 is gated to the ladder's q=0/rem=raw).  The
+    zero-run call keeps the ladder: its kmask-ANDed m is not a pure
+    2^k-1."""
     k_safe = jnp.clip(k, 1, 31)
     m = (_shl(jnp.ones_like(k_safe), k_safe) - 1) & mask
-    rem = raw
-    q = jnp.zeros_like(raw)
-    for _ in range(RICE_THRESHOLD + 1):
-        c = (m > 0) & (rem >= m)
-        rem = rem - jnp.where(c, m, 0)
-        q = q + c.astype(I32)
-    esc_q = (m <= 0) | (q > RICE_THRESHOLD)
+    if pure_pow2:
+        q = _sra(raw, k_safe)
+        rem = raw - q * m
+        for _ in range(3):
+            c = rem >= m
+            rem = rem - jnp.where(c, m, 0)
+            q = q + c.astype(I32)
+        nonneg = raw >= 0
+        esc_q = nonneg & ((q > RICE_THRESHOLD) | (rem >= m))
+        q = jnp.where(nonneg, q, 0)
+        rem = jnp.where(nonneg, rem, raw)
+    else:
+        rem = raw
+        q = jnp.zeros_like(raw)
+        for _ in range(RICE_THRESHOLD + 1):
+            c = (m > 0) & (rem >= m)
+            rem = rem - jnp.where(c, m, 0)
+            q = q + c.astype(I32)
+        esc_q = (m <= 0) | (q > RICE_THRESHOLD)
     is_k1 = k == 1
     # Boolean algebra, not where(): Mosaic cannot lower a select with
     # an i1 vector result ("Unsupported target bitwidth for
@@ -256,7 +277,7 @@ def _rice_kernel(params_ref, errs_hbm, zrun_hbm, c0_hbm, c1_hbm, c2_hbm,
         bad = bad | jnp.where(active & (raw < 0), 1, 0)
         ik = 31 - kmod - _clz32(_sra(h, jnp.full_like(h, 9)) + 3)
         k = jnp.where(ik < 0, ik + kmod, kmod)
-        v0, w0, v1, w1 = _emit_sym(raw, rss, k, neg1)
+        v0, w0, v1, w1 = _emit_sym(raw, rss, k, neg1, pure_pow2=True)
 
         h2 = jnp.where(
             dv > 0xFFFF,
@@ -352,35 +373,13 @@ def _param_planes(B, *rows):
     return params.reshape(NP, NB, SUB, LN).transpose(1, 0, 2, 3)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_samples", "max_order", "interpret")
-)
-def predictor_errors_fused(
-    sig, n, lp, num_samples: int, max_order: int = MAX_ORDER,
-    interpret: bool = False,
-):
-    """Fused-kernel predictor_errors: (B, S) sig -> (B, S) residuals.
-
-    B must be a multiple of 1024 and num_samples a multiple of TILE
-    (callers pad; encode_stages_fused handles both).
-    """
-    B, S = sig.shape
-    assert B % (SUB * LN) == 0 and S % TILE == 0, (B, S)
-    NB = B // (SUB * LN)
-    (sigv,) = _block_views(B, sig.astype(I32))
-    paramsv = _param_planes(
-        B, n, lp.rss, jnp.zeros_like(n), jnp.zeros_like(n),
-        jnp.zeros_like(n), jnp.zeros_like(n), lp.order, lp.quant,
-    )
-    rcv = (
-        lp.rc.astype(I32)
-        .reshape(NB, SUB, LN, MAX_ORDER + 1)
-        .transpose(0, 3, 1, 2)
-    )
+def _pred_blocks(sigv, paramsv, rcv, S, max_order, interpret):
+    """Predictor kernel on kernel-layout views -> (NB, S, sub, LN)."""
+    NB = sigv.shape[0]
     kern = functools.partial(
         _pred_kernel, S=S, max_order=max_order, tile=TILE, sub=SUB
     )
-    errs = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(NB,),
         in_specs=[
@@ -399,6 +398,39 @@ def predictor_errors_fused(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(paramsv, rcv, sigv)
+
+
+def _pred_views(sig, n, lp):
+    B = sig.shape[0]
+    NB = B // (SUB * LN)
+    (sigv,) = _block_views(B, sig.astype(I32))
+    paramsv = _param_planes(
+        B, n, lp.rss, jnp.zeros_like(n), jnp.zeros_like(n),
+        jnp.zeros_like(n), jnp.zeros_like(n), lp.order, lp.quant,
+    )
+    rcv = (
+        lp.rc.astype(I32)
+        .reshape(NB, SUB, LN, MAX_ORDER + 1)
+        .transpose(0, 3, 1, 2)
+    )
+    return sigv, paramsv, rcv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "max_order", "interpret")
+)
+def predictor_errors_fused(
+    sig, n, lp, num_samples: int, max_order: int = MAX_ORDER,
+    interpret: bool = False,
+):
+    """Fused-kernel predictor_errors: (B, S) sig -> (B, S) residuals.
+
+    B must be a multiple of 1024 and num_samples a multiple of TILE
+    (callers pad; encode_stages_fused handles both).
+    """
+    B, S = sig.shape
+    assert B % (SUB * LN) == 0 and S % TILE == 0, (B, S)
+    errs = _pred_blocks(*_pred_views(sig, n, lp), S, max_order, interpret)
     return errs.transpose(0, 2, 3, 1).reshape(B, S)
 
 
@@ -415,14 +447,30 @@ def rice_merge_fused(
     """
     B, S = errs.shape
     assert B % (SUB * LN) == 0 and S % TILE == 0, (B, S)
-    NB = B // (SUB * LN)
     errsv, zrunv = _block_views(B, errs.astype(I32), zruns.astype(I32))
-    paramsv = _param_planes(
+    paramsv = _rice_params(B, n, rp)
+    c0, c1, c2, ws, state = _rice_blocks(errsv, zrunv, paramsv, S, interpret)
+
+    def flat(p):
+        return p.transpose(0, 2, 3, 1).reshape(B, S)
+
+    bits = state[:, 0].reshape(B)
+    bad = state[:, 1].reshape(B) != 0
+    return flat(c0), flat(c1), flat(c2), flat(ws), bits, bad
+
+
+def _rice_params(B, n, rp):
+    return _param_planes(
         B, n, rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
         jnp.zeros_like(n), jnp.zeros_like(n),
     )
+
+
+def _rice_blocks(errsv, zrunv, paramsv, S, interpret):
+    """Rice kernel on kernel-layout views -> (c0, c1, c2, ws, state)."""
+    NB = errsv.shape[0]
     kern = functools.partial(_rice_kernel, S=S, tile=TILE, sub=SUB)
-    c0, c1, c2, ws, state = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(NB,),
         in_specs=[
@@ -458,13 +506,6 @@ def rice_merge_fused(
         interpret=interpret,
     )(paramsv, errsv, zrunv)
 
-    def flat(p):
-        return p.transpose(0, 2, 3, 1).reshape(B, S)
-
-    bits = state[:, 0].reshape(B)
-    bad = state[:, 1].reshape(B) != 0
-    return flat(c0), flat(c1), flat(c2), flat(ws), bits, bad
-
 
 def _pad_lanes(x, B_pad, fill=0):
     B = x.shape[0]
@@ -489,7 +530,7 @@ def encode_stages_fused(
     Returns (c0, c1, c2 (B, S) uint32, ws (B, S) int8, bits (B,) int32,
     bad (B,) bool) — bit-identical to the XLA path.
     """
-    from ..encode import RiceEncParams, zero_run_lengths
+    from ..encode import RiceEncParams
     from ..lpc import LpcParams
 
     B, S = sig.shape
@@ -514,14 +555,36 @@ def encode_stages_fused(
         kmask=_pad_lanes(rp.kmask.astype(I32), B_pad, fill=-1),
     )
 
-    errs = predictor_errors_fused(
-        sigp, np_, lpp, S_pad, max_order=max_order, interpret=interpret
+    # The inter-kernel handoff stays in the kernel's (NB, S, sub, LN)
+    # layout: the residual plane never round-trips through (B, S), and
+    # the zero-run lookahead (ops/encode.zero_run_lengths, a dense
+    # reverse cummin) runs directly on that layout — sample axis 1,
+    # lanes broadcast.  Saves three full-plane HBM repacks per chunk.
+    sigv, predparams, rcv = _pred_views(sigp, np_, lpp)
+    errsv = _pred_blocks(sigv, predparams, rcv, S_pad, max_order, interpret)
+
+    NB = B_pad // (SUB * LN)
+    n_v = np_.reshape(NB, SUB, LN)[:, None]
+    idx = jnp.arange(S_pad, dtype=I32)[None, :, None, None]
+    brk = (errsv != 0) | (idx >= n_v)
+    nz_idx = jnp.where(brk, idx, S_pad)
+    next_brk = jax.lax.cummin(nz_idx[:, ::-1], axis=1)[:, ::-1]
+    run_from = next_brk - idx
+    run_after = jnp.concatenate(
+        [run_from[:, 1:], jnp.zeros((NB, 1, SUB, LN), I32)], axis=1
     )
-    zr = zero_run_lengths(errs, np_, S_pad)
-    c0, c1, c2, ws, bits, bad = rice_merge_fused(
-        errs, zr, np_, rpp, S_pad, interpret=interpret
+    zrv = jnp.minimum(run_after, 0xFFFF)
+
+    c0, c1, c2, ws, state = _rice_blocks(
+        errsv, zrv, _rice_params(B_pad, np_, rpp), S_pad, interpret
     )
+
+    def flat(p):
+        return p.transpose(0, 2, 3, 1).reshape(B_pad, S_pad)
+
+    bits = state[:, 0].reshape(B_pad)
+    bad = state[:, 1].reshape(B_pad) != 0
     return (
-        c0[:B, :S], c1[:B, :S], c2[:B, :S],
-        ws[:B, :S].astype(jnp.int8), bits[:B], bad[:B],
+        flat(c0)[:B, :S], flat(c1)[:B, :S], flat(c2)[:B, :S],
+        flat(ws)[:B, :S].astype(jnp.int8), bits[:B], bad[:B],
     )
