@@ -20,7 +20,9 @@ from .batch import (
 )
 from .config import DecodeConfig
 from .codec.cookie import CodecParams, default_cookie
-from .codec.encoder import AlacEncoder, EncoderConfig, encode_m4a
+from .codec.encoder import (
+    AlacEncoder, EncoderConfig, encode_files, encode_m4a,
+)
 from .codec.encoder_tpu import encode_frames_tpu
 from .container.demux import StreamInfo, parse
 from .context import AlacContext
@@ -62,6 +64,7 @@ __all__ = [
     "StreamInfo",
     "UnsupportedFormatError",
     "default_cookie",
+    "encode_files",
     "encode_m4a",
     "encode_frames_tpu",
     "parse",

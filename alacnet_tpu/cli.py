@@ -136,6 +136,53 @@ def _cmd_encode(args) -> int:
     return 0
 
 
+def _cmd_batch_encode(args) -> int:
+    """Encode many .wav files into .m4a in pooled device batches.
+
+    The encode mirror of batch-decode (codec.encoder.encode_files):
+    frames from every same-format input share the chunked device
+    pipeline; --mesh DP-shards them over every local device.
+    """
+    import os
+
+    from .codec.encoder import EncoderConfig, encode_files
+    from .pcm import read_wav
+
+    pcms, rates, bits_l, outs = [], [], [], []
+    os.makedirs(args.out_dir, exist_ok=True)
+    used: set[str] = set()
+    for path in args.paths:
+        with open(path, "rb") as f:
+            pcm, rate, bits = read_wav(f)
+        pcms.append(pcm)
+        rates.append(rate)
+        bits_l.append(args.bits or bits)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        name, k = stem + ".m4a", 1
+        while name in used:
+            name = f"{stem}.{k}.m4a"
+            k += 1
+        used.add(name)
+        outs.append(os.path.join(args.out_dir, name))
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    cfg = EncoderConfig(order=args.order)
+    t0 = time.perf_counter()
+    encode_files(pcms, outs, rates, bits_l, cfg, mesh=mesh)
+    dt = time.perf_counter() - t0
+    total = sum(p.shape[0] for p in pcms)
+    coded = sum(os.path.getsize(o) for o in outs)
+    raw = sum(p.size * (b // 8) for p, b in zip(pcms, bits_l))
+    print(
+        f"encoded {len(pcms)} files, {total} samples in {dt:.3f}s — "
+        f"{total / dt / 1e6:.2f} Msamples/s, ratio {coded / max(1, raw):.3f}"
+    )
+    return 0
+
+
 def _cmd_batch_decode(args) -> int:
     """Decode many .m4a files in pooled device batches -> .wav files.
 
@@ -291,6 +338,22 @@ def main(argv: list[str] | None = None) -> int:
         help="DP-shard the encode frames over all visible devices",
     )
     p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser(
+        "batch-encode",
+        help="encode many .wav files into .m4a in pooled device batches",
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--out-dir", required=True, help="one .m4a per input")
+    p.add_argument("--order", type=int, default=6)
+    p.add_argument(
+        "--bits", type=int, default=0, help="override the WAV bit depth"
+    )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="DP-shard the pooled frames over every local device",
+    )
+    p.set_defaults(fn=_cmd_batch_encode)
 
     p = sub.add_parser(
         "batch-decode",

@@ -618,3 +618,97 @@ def encode_m4a(
         frames = [enc.encode_frame(c) for c in chunks]
     write_m4a(out, params, frames, durations, **mux_kwargs)
     return params
+
+
+def encode_files(
+    pcms: "Sequence[np.ndarray]",
+    outs: "Sequence[BinaryIO | str | os.PathLike]",
+    sample_rates: "int | Sequence[int]",
+    sample_sizes: "int | Sequence[int]" = 16,
+    config: EncoderConfig | None = None,
+    max_samples_per_frame: int = 4096,
+    device: bool = True,
+    mesh=None,
+    **mux_kwargs,
+) -> "list[CodecParams]":
+    """Encode many PCM arrays into .m4a files in POOLED device batches —
+    the encode mirror of batch.decode_files.
+
+    Frames from every same-format file are pooled into one
+    encode_frames_tpu run (the <=2-in-flight chunked pipeline), so a
+    library of short files amortizes dispatch/compile overhead exactly
+    like decode's pooled spans; payloads are split back per file and
+    muxed individually.  Mixed formats (rate/bits/channels) are grouped
+    by format and run group-by-group.
+
+    ``pcms``: per-file (num_samples, channels) int arrays (1-D = mono);
+    ``outs``: matching writable file objects or paths;
+    ``sample_rates``/``sample_sizes``: scalar or per-file.  ``device``
+    False falls back to the host AlacEncoder per frame (also taken for
+    ``config.force_uncompressed``, which the device pipeline does not
+    carry).  Returns the per-file CodecParams.
+    """
+    import os
+
+    pcms = [np.asarray(p) for p in pcms]
+    pcms = [p[:, None] if p.ndim == 1 else p for p in pcms]
+    nf = len(pcms)
+    if len(outs) != nf:
+        raise ValueError(f"{nf} pcm arrays but {len(outs)} outputs")
+
+    def per_file(v):
+        if isinstance(v, (int, np.integer)):
+            return [int(v)] * nf
+        v = [int(x) for x in v]
+        if len(v) != nf:
+            raise ValueError("per-file parameter length mismatch")
+        return v
+
+    rates = per_file(sample_rates)
+    sizes = per_file(sample_sizes)
+    results: list[CodecParams | None] = [None] * nf
+
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(pcms):
+        groups.setdefault((rates[i], sizes[i], p.shape[1]), []).append(i)
+
+    use_host = (not device and mesh is None) or (
+        config is not None and config.force_uncompressed
+    )
+    for (rate, bits, nch), idxs in groups.items():
+        params = default_cookie(
+            sample_rate=rate,
+            sample_size=bits,
+            num_channels=nch,
+            max_samples_per_frame=max_samples_per_frame,
+        )
+        chunks: list[np.ndarray] = []
+        counts: list[int] = []
+        durations: list[list[int]] = []
+        for i in idxs:
+            fc = [
+                pcms[i][s : s + max_samples_per_frame]
+                for s in range(0, pcms[i].shape[0], max_samples_per_frame)
+            ]
+            chunks.extend(fc)
+            counts.append(len(fc))
+            durations.append([len(c) for c in fc])
+        if use_host:
+            enc = AlacEncoder(params, config)
+            frames = [enc.encode_frame(c) for c in chunks]
+        else:
+            from .encoder_tpu import encode_frames_tpu
+
+            frames = encode_frames_tpu(chunks, params, config, mesh=mesh)
+        pos = 0
+        for j, i in enumerate(idxs):
+            sub = frames[pos : pos + counts[j]]
+            pos += counts[j]
+            o = outs[i]
+            if hasattr(o, "write"):
+                write_m4a(o, params, sub, durations[j], **mux_kwargs)
+            else:
+                with open(os.fspath(o), "wb") as f:
+                    write_m4a(f, params, sub, durations[j], **mux_kwargs)
+            results[i] = params
+    return results  # type: ignore[return-value]

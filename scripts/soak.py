@@ -1,19 +1,27 @@
 """Soak test: encode a mixed-format synthetic album, batch-decode it,
 verify every file bit-exactly, and report pipeline throughput.
 
-    python scripts/soak.py [--minutes 10] [--outdir /tmp/alac_soak]
+    python scripts/soak.py [--minutes 10] [--outdir /tmp/alac_soak] [--out x.json]
 
-Exercises the full production path end to end: native encoder -> muxer ->
-demux -> pooled batched device decode (fused kernel on TPU) -> ragged
-assembly, across 16/24-bit, mono/stereo, multiple rates and predictor
-orders, mdat-first layouts and chunk gaps.
+Exercises the full production path end to end: DEVICE encoder (fused
+Pallas automatons + native chunk packer) byte-checked against the host
+encoder per file -> muxer -> demux -> pooled batched device decode
+(fused kernel on TPU) -> ragged assembly, across 16/24-bit,
+mono/stereo, multiple rates and predictor orders, mdat-first layouts
+and chunk gaps.
 """
 
 from __future__ import annotations
 
 import argparse
+import io
+import json
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
@@ -43,6 +51,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--outdir", default="/tmp/alac_soak")
+    ap.add_argument("--out", default=None, help="write a JSON artifact")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -56,17 +65,33 @@ def main() -> int:
     ]
     per_file = int(args.minutes * 60 / len(specs))
     paths, sources = [], []
+    enc_match = True
     t0 = time.time()
+    dev_s = 0.0
     for i, (name, rate, bits, ch, cfg, kw) in enumerate(specs):
         pcm = synth(rate * per_file, ch, bits, seed=i)
         path = os.path.join(args.outdir, f"{name}.m4a")
+        # Device pipeline (fused Pallas automatons + native packer) ...
+        td = time.time()
+        buf = io.BytesIO()
+        alacnet_tpu.encode_m4a(buf, pcm, rate, bits, cfg, device=True, **kw)
+        dev_s += time.time() - td
+        # ... byte-checked against the host encoder on the same PCM.
+        want = io.BytesIO()
+        alacnet_tpu.encode_m4a(want, pcm, rate, bits, cfg, **kw)
+        if buf.getvalue() != want.getvalue():
+            enc_match = False
+            print(f"ENCODER MISMATCH: {name}")
         with open(path, "wb") as f:
-            alacnet_tpu.encode_m4a(f, pcm, rate, bits, cfg, **kw)
+            f.write(buf.getvalue())
         paths.append(path)
         sources.append(pcm)
     enc_s = time.time() - t0
     total = sum(p.shape[0] for p in sources)
-    print(f"encoded {total} samples across {len(paths)} files in {enc_s:.1f}s")
+    print(
+        f"encoded {total} samples across {len(paths)} files in {enc_s:.1f}s "
+        f"(device leg {dev_s:.1f}s, host==device bytes: {enc_match})"
+    )
 
     GLOBAL_STATS.reset()
     t0 = time.time()
@@ -81,7 +106,27 @@ def main() -> int:
         f"bit_exact={ok}"
     )
     print("stats:", GLOBAL_STATS.snapshot())
-    return 0 if ok else 1
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "backend": __import__("jax").default_backend(),
+                    "minutes": args.minutes,
+                    "files": len(paths),
+                    "total_samples": int(total),
+                    "encode_s": round(enc_s, 2),
+                    "encode_device_s": round(dev_s, 2),
+                    "encode_host_device_bytes_equal": bool(enc_match),
+                    "decode_s": round(dec_s, 2),
+                    "decode_msps_incl_host_io": round(total / dec_s / 1e6, 1),
+                    "decode_bit_exact": bool(ok),
+                    "all_ok": bool(ok and enc_match),
+                },
+                f, indent=1,
+            )
+            f.write("\n")
+        print(f"wrote {args.out}")
+    return 0 if (ok and enc_match) else 1
 
 
 if __name__ == "__main__":
