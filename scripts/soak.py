@@ -121,6 +121,11 @@ def main() -> int:
                     "decode_msps_incl_host_io": round(total / dec_s / 1e6, 1),
                     "decode_bit_exact": bool(ok),
                     "all_ok": bool(ok and enc_match),
+                    "note": (
+                        "correctness soak; wall dominated by the dev-relay"
+                        " RTTs + 1-core host (DESIGN.md 4c) — throughput"
+                        " numbers live in BENCH_r0N.json"
+                    ),
                 },
                 f, indent=1,
             )
