@@ -205,7 +205,7 @@ int64_t alac_parse_headers(
   return first_bad < 0 ? 0 : 1 + first_bad;
 }
 
-int32_t alac_native_abi_version() { return 4; }
+int32_t alac_native_abi_version() { return 5; }
 
 // Batched windowed autocorrelation for the encoder's Levinson stage:
 // r[k*B + b] = sum_s x[b,s] * x[b,s+k], k = 0..order, over the
@@ -686,6 +686,140 @@ void alac_pack_chunk_frames(
       }
     }
     end_bits[f] = w.finish();
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pair-plane frame packer (round 3): the device merges ADJACENT samples'
+// chunks into one <=96-bit field (ops/encode.merge_pair_chunks), halving
+// both the host's per-field bookkeeping and the plane D2H.  Two frames
+// are packed per loop iteration with independent writers so their
+// accumulator dependency chains overlap (measured ~2x over the
+// single-writer per-sample chunk loop on the 1-core bench host; see
+// DESIGN.md §7).  Precondition: pws values are in [0, 96] — batches
+// with a non-fitting pair (pws = -1, `fat` flag) must take the classic
+// chunk path instead (codec/encoder_tpu._pack enforces this).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// One pair field: value right-aligned in the low `bits` of ph:pm:pl.
+#define ALAC_PAIR1(W, ph_, pm_, pl_, pw_, j)                                 \
+  {                                                                          \
+    const int bits_ = pw_[j];                                                \
+    const uint64_t lo_ = (uint64_t(pm_[j]) << 32) | pl_[j];                  \
+    if (bits_ > 64) { W.push64(ph_[j], bits_ - 64); W.push64(lo_, 64); }     \
+    else if (bits_ > 0) W.push64(lo_, bits_);                                \
+  }
+
+// Two pair fields folded into one accumulator push when they fit 64
+// bits (the common case: two pairs = four ~8-bit symbols).
+#define ALAC_PAIR2(W, ph_, pm_, pl_, pw_, j)                                 \
+  {                                                                          \
+    const int b0_ = pw_[j], b1_ = pw_[j + 1];                                \
+    if ((b0_ | b1_) >= 0 && b0_ + b1_ <= 64 && b1_ <= 63) {                  \
+      const uint64_t v0_ = (uint64_t(pm_[j]) << 32) | pl_[j];                \
+      const uint64_t v1_ = (uint64_t(pm_[j + 1]) << 32) | pl_[j + 1];        \
+      W.push64((v0_ << b1_) | v1_, b0_ + b1_);                               \
+    } else {                                                                 \
+      ALAC_PAIR1(W, ph_, pm_, pl_, pw_, j)                                   \
+      ALAC_PAIR1(W, ph_, pm_, pl_, pw_, j + 1)                               \
+    }                                                                        \
+  }
+
+// Frame prefix: ragged header fields + optional equal-width extra-bits
+// plane (same fold as alac_pack_chunk_frames' extra section).
+inline void pair_prefix(FastBitWriter& w, const uint32_t* hv,
+                        const uint8_t* hw, int64_t lo, int64_t hi,
+                        const uint32_t* pe, int eb, int64_t nf) {
+  for (int64_t i = lo; i < hi; ++i) w.write(hv[i], hw[i]);
+  if (eb != 0 && pe != nullptr) {
+    const uint32_t em = eb >= 32 ? 0xFFFFFFFFu : ((1u << eb) - 1u);
+    int64_t i = 0;
+    if (eb <= 16) {
+      for (; i + 3 < nf; i += 4) {
+        uint64_t v = pe[i] & em;
+        v = (v << eb) | (pe[i + 1] & em);
+        v = (v << eb) | (pe[i + 2] & em);
+        v = (v << eb) | (pe[i + 3] & em);
+        w.push64(v, 4 * eb);
+      }
+    }
+    for (; i < nf; ++i) w.write(pe[i], eb);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pair planes: ph/pm/pl (2F, NP) uint32, pws (2F, NP) int8; lane f is
+// channel A of frame f, lane F+f channel B.  NP = ceil(S/2) pairs.
+void alac_pack_pair_frames(
+    const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
+    const uint32_t* extra, const uint8_t* extra_w,
+    const uint32_t* ph, const uint32_t* pm, const uint32_t* pl,
+    const int8_t* pws, const int32_t* n, const uint8_t* stereo,
+    int64_t F, int64_t S, int64_t NP,
+    uint8_t* out, int64_t out_stride, int64_t* end_bits) {
+  const int64_t half = (F + 1) / 2;
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t fp = 0; fp < half; ++fp) {
+    const int64_t f = 2 * fp, g = f + 1;
+    if (g < F && n[f] == n[g] && stereo[f] == stereo[g]) {
+      // Interleaved two-frame path: both writers advance in lockstep,
+      // overlapping their serial accumulator chains.
+      FastBitWriter wa(out + f * out_stride);
+      FastBitWriter wb(out + g * out_stride);
+      const int ea = extra_w != nullptr ? extra_w[f] : 0;
+      const int eg = extra_w != nullptr ? extra_w[g] : 0;
+      pair_prefix(wa, hv, hw, h_off[f], h_off[f + 1],
+                  extra != nullptr ? extra + f * S : nullptr, ea, n[f]);
+      pair_prefix(wb, hv, hw, h_off[g], h_off[g + 1],
+                  extra != nullptr ? extra + g * S : nullptr, eg, n[g]);
+      const int64_t np = (n[f] + 1) / 2;
+      const int64_t nch = stereo[f] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const int64_t la = (f + c * F) * NP, lb = (g + c * F) * NP;
+        const uint32_t* pha = ph + la; const uint32_t* phb = ph + lb;
+        const uint32_t* pma = pm + la; const uint32_t* pmb = pm + lb;
+        const uint32_t* pla = pl + la; const uint32_t* plb = pl + lb;
+        const int8_t* pwa = pws + la; const int8_t* pwb = pws + lb;
+        int64_t j = 0;
+        for (; j + 1 < np; j += 2) {
+          ALAC_PAIR2(wa, pha, pma, pla, pwa, j)
+          ALAC_PAIR2(wb, phb, pmb, plb, pwb, j)
+        }
+        for (; j < np; ++j) {
+          ALAC_PAIR1(wa, pha, pma, pla, pwa, j)
+          ALAC_PAIR1(wb, phb, pmb, plb, pwb, j)
+        }
+      }
+      end_bits[f] = wa.finish();
+      end_bits[g] = wb.finish();
+      continue;
+    }
+    for (int64_t ff = f; ff < F && ff <= g; ++ff) {
+      FastBitWriter w(out + ff * out_stride);
+      const int eb = extra_w != nullptr ? extra_w[ff] : 0;
+      pair_prefix(w, hv, hw, h_off[ff], h_off[ff + 1],
+                  extra != nullptr ? extra + ff * S : nullptr, eb, n[ff]);
+      const int64_t np = (n[ff] + 1) / 2;
+      const int64_t nch = stereo[ff] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const int64_t l0 = (ff + c * F) * NP;
+        const uint32_t* ph_ = ph + l0;
+        const uint32_t* pm_ = pm + l0;
+        const uint32_t* pl_ = pl + l0;
+        const int8_t* pw_ = pws + l0;
+        int64_t j = 0;
+        for (; j + 1 < np; j += 2) ALAC_PAIR2(w, ph_, pm_, pl_, pw_, j)
+        for (; j < np; ++j) ALAC_PAIR1(w, ph_, pm_, pl_, pw_, j)
+      }
+      end_bits[ff] = w.finish();
+    }
   }
 }
 

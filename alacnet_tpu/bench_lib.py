@@ -947,7 +947,8 @@ def run_encode_benchmark(
 
     from .codec.encoder import AlacEncoder
     from .codec.encoder_tpu import (
-        _dispatch, _pack_host, _prep, encode_frames_tpu,
+        _dispatch, _enc_pairs, _pack_host, _pack_host_pairs, _prep,
+        encode_frames_tpu,
     )
     from .ops.encode import RiceEncParams, encode_stages_pcm
     from .ops.lpc import LpcParams, reverse_coefs
@@ -996,21 +997,21 @@ def run_encode_benchmark(
 
     enc_kernel = _enc_kernel(None)  # fused on TPU — the production path
 
+    use_pairs = _enc_pairs()  # the production plane layout
+
     def stages(v):
         return encode_stages_pcm(
             v, stereo, ns, lp, rp, S, max_order=6, lw=1, sh=1,
-            wide=bits > 16, kernel=enc_kernel,
+            wide=bits > 16, kernel=enc_kernel, pairs=use_pairs,
         )
 
-    *_, bits0, _bad = stages(vs[-1])
-    jnp.sum(bits0).item()
+    jnp.sum(stages(vs[-1])[4]).item()
 
     def chain(idxs):
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
         for r in idxs:
-            *_, b, _ = stages(vs[r])
-            acc = acc + jnp.sum(b)
+            acc = acc + jnp.sum(stages(vs[r])[4])
         acc.item()
         return time.perf_counter() - t0
 
@@ -1033,16 +1034,30 @@ def run_encode_benchmark(
         t0 = time.perf_counter()
         prep = _prep(arr, params, cfg, enc)
         prep_s = min(prep_s, time.perf_counter() - t0)
-    planes = _dispatch(prep, params, cfg)
+    planes = _dispatch(prep, params, cfg, pairs=False)
     host_planes = [np.asarray(x) for x in planes]  # block the readback
-    pack_s = float("inf")
+    pack_classic_s = float("inf")
     for _ in range(max(2, repeats) + 1):
         t0 = time.perf_counter()
         # The host packer explicitly (_pack would route to the device
         # variant under ALAC_ENC_DEVICE_PACK and destroy this baseline).
         payloads = _pack_host(prep, host_planes, None)
-        pack_s = min(pack_s, time.perf_counter() - t0)
+        pack_classic_s = min(pack_classic_s, time.perf_counter() - t0)
     coded = sum(len(p) for p in payloads)
+    pack_s = pack_classic_s
+    if use_pairs:
+        # Production pack stage: device-merged pair planes through the
+        # native two-frame pair packer; the classic rate rides along as
+        # encode_pack_classic_msps.
+        planes_p = _dispatch(prep, params, cfg, pairs=True)
+        host_pairs = [np.asarray(x) for x in planes_p]
+        pack_s = float("inf")
+        for _ in range(max(2, repeats) + 1):
+            t0 = time.perf_counter()
+            pair_payloads = _pack_host_pairs(prep, host_pairs, None)
+            pack_s = min(pack_s, time.perf_counter() - t0)
+        if pair_payloads != payloads:  # hardware parity gate
+            raise RuntimeError("pair pack != classic pack payload bytes")
 
     # -- device-pack variant (ALAC_ENC_DEVICE_PACK): slope-measure the
     # pack_frames_device kernel on the staged planes and the residual
@@ -1083,6 +1098,8 @@ def run_encode_benchmark(
         "encode_stage_kernel": enc_kernel,
         "encode_prep_msps": round(prep_msps, 3),
         "encode_pack_msps": round(pack_msps, 3),
+        "encode_pack_pairs": use_pairs,
+        "encode_pack_classic_msps": round(Fe * S / pack_classic_s / 1e6, 3),
         # Tunnel-inclusive wall (chunk-plane D2H over the dev relay —
         # an environment artifact, cf. DESIGN.md §4c).
         "encode_tunnel_wall_msps": round(e2e_msps, 3),

@@ -270,12 +270,55 @@ def _enc_kernel(platform: str | None) -> str:
     return "fused-interpret" if mode == "fused" else "xla"
 
 
-def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None):
+def _enc_pairs() -> bool:
+    """Pair-plane packing (ops/encode.merge_pair_chunks + the native
+    two-frame interleaved pair packer): ON by default when the native
+    tier is available — it halves both the host pack stage's per-field
+    bookkeeping and the chunk-plane D2H (13 B/pair vs 13 B/sample).
+    ALAC_ENC_PAIR=0 forces the classic per-sample chunk planes; =1
+    requires the native tier (there is no pure-Python pair packer)."""
+    import os
+
+    from .. import native
+
+    mode = os.environ.get("ALAC_ENC_PAIR", "auto")
+    if mode not in ("auto", "0", "1"):
+        raise ValueError(f"ALAC_ENC_PAIR={mode!r}: expected auto, 0 or 1")
+    if mode == "0":
+        return False
+    ok = native.available()
+    if mode == "1" and not ok:
+        raise RuntimeError(
+            "ALAC_ENC_PAIR=1 requires the native host tier "
+            "(the pair packer has no Python fallback)"
+        )
+    return ok
+
+
+def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
+              pairs: bool | None = None):
     """Stage the prepped batch onto the device (async); with a mesh,
-    DP-shard the frames (parallel.mesh.encode_stages_pcm_spmd)."""
+    DP-shard the frames (parallel.mesh.encode_stages_pcm_spmd).
+
+    ``pairs`` (default: auto) selects the pair-merged plane layout for
+    the native pair packer.  Mesh and device-pack dispatches stay on
+    the classic per-sample chunk planes (the pair fold is elementwise
+    and would shard fine, but their packers consume chunk planes)."""
     import jax.numpy as jnp
 
     from ..ops.encode import RiceEncParams, encode_stages_pcm
+
+    if pairs is None:
+        pairs = _enc_pairs() and mesh is None and not _enc_device_pack()
+    prep["pairs"] = pairs
+    if pairs:
+        # Non-fitting pairs (fat flag) re-dispatch the classic planes;
+        # see _pack_host_pairs.  The closure re-enters this function
+        # with pairs forced off, so prep["pairs"] is reset for _pack's
+        # routing if the fallback fires.
+        prep["_classic_dispatch"] = lambda: _dispatch(
+            prep, params, cfg, mesh=None, pairs=False
+        )
 
     B, S, order = prep["B"], prep["S"], prep["order"]
     coef_tab = np.zeros((B, MAX_ORDER), np.int32)
@@ -316,7 +359,7 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None):
         jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["ns"]), lp, rp, S, max_order=max_order,
         lw=prep["lw"], sh=prep["sh"], ub8=prep["ub8"], wide=prep["wide"],
-        kernel=_enc_kernel(None),
+        kernel=_enc_kernel(None), pairs=pairs,
     )
 
 
@@ -420,6 +463,8 @@ def _pack(prep, planes, timings: dict | None):
     Mesh dispatches (channel-major 3-dim planes) always pack on host:
     pack_frames_device wants flat single-device lane planes, and
     reshaping a sharded array would gather it to one device anyway."""
+    if prep.get("pairs"):
+        return _pack_host_pairs(prep, planes, timings)
     if (
         _enc_device_pack()
         and prep["extra_plane"] is None
@@ -427,6 +472,60 @@ def _pack(prep, planes, timings: dict | None):
     ):
         return _pack_device(prep, planes, timings)
     return _pack_host(prep, planes, timings)
+
+
+def _pack_host_pairs(prep, planes, timings: dict | None):
+    """Read back the pair planes (merge_pair_chunks layout) and
+    assemble payload bytes via the native two-frame pair packer.
+
+    A set ``fat`` flag (some pair's combined width exceeds 96 bits —
+    unreachable for real content, but the packer's 3-word field cannot
+    represent it) re-dispatches the batch on the classic per-sample
+    chunk planes and packs those instead: correctness never depends on
+    the fast layout fitting."""
+    import time as _time
+
+    from .. import native
+
+    _t0 = _time.perf_counter()
+    ph_d, pm_d, pl_d, pws_d, bits_d, bad_d, fat_d = planes
+    fat = np.asarray(fat_d)
+    if bool(fat.any()):
+        prep["pairs"] = False
+        return _pack_host(prep, prep["_classic_dispatch"](), timings)
+    ph = np.asarray(ph_d)
+    pm = np.asarray(pm_d)
+    pl = np.asarray(pl_d)
+    pws = np.asarray(pws_d)
+    bits = np.asarray(bits_d).astype(np.int64)
+    if bool(np.asarray(bad_d).any()):
+        raise RuntimeError("encoder state desync: raw < 0")
+    _t1 = _time.perf_counter()
+    F = prep["F"]
+    total_bits = prep["hbits"] + bits[:F] + bits[F:]
+    out_stride = int(total_bits.max()) // 8 + 8 if F else 8
+    packed = native.pack_pair_frames_native(
+        prep["hv"], prep["hw"], prep["h_off"],
+        prep["extra_plane"], prep["extra_w"],
+        ph, pm, pl, pws, prep["ns_f"], prep["stereo_f"].astype(np.uint8),
+        prep["S"], out_stride,
+    )
+    if packed is None:  # native tier vanished mid-run; classic fallback
+        prep["pairs"] = False
+        return _pack_host(prep, prep["_classic_dispatch"](), timings)
+    out, end_bits = packed
+    payloads = [
+        out[f, : -(-int(end_bits[f]) // 8)].tobytes() for f in range(F)
+    ]
+    if timings is not None:
+        timings["emit_wait_s"] = timings.get("emit_wait_s", 0.0) + _t1 - _t0
+        timings["plane_bytes"] = timings.get("plane_bytes", 0) + (
+            ph.nbytes + pm.nbytes + pl.nbytes + pws.nbytes
+        )
+        timings["pack_s"] = (
+            timings.get("pack_s", 0.0) + _time.perf_counter() - _t1
+        )
+    return payloads
 
 
 def _fetch_lane_major(x, ndim_flat: int) -> np.ndarray:

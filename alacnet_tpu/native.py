@@ -90,7 +90,7 @@ def get_lib() -> ctypes.CDLL | None:
                 return None
             lib = ctypes.CDLL(str(path))
             lib.alac_native_abi_version.restype = ctypes.c_int32
-            if lib.alac_native_abi_version() != 4:
+            if lib.alac_native_abi_version() != 5:
                 return None
             lib.alac_pack_frames.argtypes = [
                 _U8P, ctypes.c_int64, _I64P, _I64P,
@@ -134,6 +134,15 @@ def get_lib() -> ctypes.CDLL | None:
                 _U8P, ctypes.c_int64, _I64P,
             ]
             lib.alac_pack_chunk_frames.restype = None
+            lib.alac_pack_pair_frames.argtypes = [
+                _U32P, _U8P, _I64P,
+                _U32P, _U8P,
+                _U32P, _U32P, _U32P, _I8P,
+                _I32P, _U8P,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                _U8P, ctypes.c_int64, _I64P,
+            ]
+            lib.alac_pack_pair_frames.restype = None
             lib.alac_decorr_window.argtypes = [
                 _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -348,6 +357,51 @@ def pack_chunk_frames_native(
         np.ascontiguousarray(stereo, np.uint8),
         np.int64(F),
         np.int64(c0.shape[1]),
+        out,
+        np.int64(out_stride),
+        end_bits,
+    )
+    return out, end_bits
+
+
+def pack_pair_frames_native(
+    hv, hw, h_off, extra, extra_w, ph, pm, pl, pws, n, stereo,
+    num_samples: int, out_stride: int,
+):
+    """Assemble coded frames from device-merged PAIR planes
+    (ops/encode.merge_pair_chunks: one <=96-bit field per two samples),
+    or None when the native tier is unavailable.
+
+    Precondition: every pws value is in [0, 96] — the caller must route
+    batches whose ``fat`` flag is set to the classic chunk path.
+    ``num_samples`` is the per-frame sample capacity S (the extra-bits
+    plane stays per-sample, (F, S)); the pair planes are (2F, ceil(S/2)).
+    Returns (out (F, out_stride) uint8, end_bits (F,) int64).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    F = len(n)
+    out = np.empty((F, out_stride), np.uint8)
+    end_bits = np.zeros(F, np.int64)
+    if extra is None:
+        extra = np.zeros(1, np.uint32)
+        extra_w = np.zeros(F, np.uint8)
+    lib.alac_pack_pair_frames(
+        np.ascontiguousarray(hv, np.uint32),
+        np.ascontiguousarray(hw, np.uint8),
+        np.ascontiguousarray(h_off, np.int64),
+        np.ascontiguousarray(extra, np.uint32),
+        np.ascontiguousarray(extra_w, np.uint8),
+        np.ascontiguousarray(ph, np.uint32),
+        np.ascontiguousarray(pm, np.uint32),
+        np.ascontiguousarray(pl, np.uint32),
+        np.ascontiguousarray(pws, np.int8),
+        np.ascontiguousarray(n, np.int32),
+        np.ascontiguousarray(stereo, np.uint8),
+        np.int64(F),
+        np.int64(num_samples),
+        np.int64(ph.shape[1]),
         out,
         np.int64(out_stride),
         end_bits,

@@ -321,11 +321,65 @@ def merge_symbol_chunks(vals16, vals32, widths):
     return h, m, l, ws.astype(jnp.int8)
 
 
+def merge_pair_chunks(c0, c1, c2, ws):
+    """Fold ADJACENT SAMPLES' 96-bit chunks into one 96-bit pair field —
+    elementwise, so the host packer writes one multi-word field per TWO
+    channel-samples (and the planes D2H halves: 13 B/pair vs 13 B/
+    sample).  The host pack stage is the encode pipeline's bottleneck
+    on a small-core host (bench encode_pack_msps); measured with the
+    two-frame interleaved native pair packer this roughly doubles it.
+
+    Pair j covers samples (2j, 2j+1); sample widths beyond the lane's
+    live count are 0 (rice_symbols masks them), so an odd live count
+    just merges a zero-width tail.  A pair FITS when its combined width
+    is <= 96 bits (each sample alone is <= 81: 9+32+9+31, see
+    merge_symbol_chunks).  Non-fitting pairs — two adjacent near-
+    maximal escape+zero-run samples, unreachable for real content but
+    not provably impossible — poison the whole batch via ``fat``: the
+    caller re-dispatches the classic per-sample planes for that batch
+    (codec/encoder_tpu._pack), keeping correctness unconditional.
+
+    Returns (ph, pm, pl (B, ceil(S/2)) uint32 — pair value right-
+    aligned in the low ``pws`` bits of ph:pm:pl — pws (B, ceil(S/2))
+    int8 combined widths (-1 for non-fitting pairs), fat (B,) bool).
+    """
+    if ws.shape[1] % 2:
+        pad = [(0, 0), (0, 1)]
+        c0, c1, c2 = (jnp.pad(x, pad) for x in (c0, c1, c2))
+        ws = jnp.pad(ws, pad)
+    wa = ws[:, 0::2].astype(I32)
+    wb = ws[:, 1::2].astype(I32)
+    wp = wa + wb
+    fits = wp <= 96
+    # A's 96-bit chunk shifted left by wb (0..96): sub-word shift by
+    # r = wb & 31 on the 3-word ladder, then a word roll by wb >> 5.
+    r = wb & 31
+    inv = 32 - r  # in [1, 32]; _shr_s handles 32
+    ah, am, al = c0[:, 0::2], c1[:, 0::2], c2[:, 0::2]
+    h = _shl_s(ah, r) | _shr_s(am, inv)
+    m = _shl_s(am, r) | _shr_s(al, inv)
+    l = _shl_s(al, r)
+    q = wb >> 5  # 0..2 for fitting pairs (wb <= 81)
+    zero = jnp.zeros_like(h)
+    h2 = jnp.where(q == 0, h, jnp.where(q == 1, m, l))
+    m2 = jnp.where(q == 0, m, jnp.where(q == 1, l, zero))
+    l2 = jnp.where(q == 0, l, zero)
+    # B sits in the low wb bits; disjoint from A << wb when the pair
+    # fits (wa <= 96 - wb), so plain ORs compose the pair.
+    ph = h2 | c0[:, 1::2]
+    pm = m2 | c1[:, 1::2]
+    pl = l2 | c2[:, 1::2]
+    pws = jnp.where(fits, wp, -1).astype(jnp.int8)
+    fat = jnp.any(~fits, axis=1)
+    return ph, pm, pl, pws, fat
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "max_order", "kernel")
+    jax.jit, static_argnames=("num_samples", "max_order", "kernel", "pairs")
 )
 def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
-                  max_order: int = MAX_ORDER, kernel: str = "xla"):
+                  max_order: int = MAX_ORDER, kernel: str = "xla",
+                  pairs: bool = False):
     """One-dispatch device encode: residuals -> zero-run lookahead ->
     rice symbols -> merged chunk planes.
 
@@ -342,19 +396,28 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     the platform (codec/encoder_tpu._dispatch) — the fused form only
     compiles on TPU ("fused-interpret" runs the Pallas interpreter
     elsewhere, bit-identical but test-speed only).
+
+    ``pairs``: additionally fold adjacent samples via
+    :func:`merge_pair_chunks` and return
+    (ph, pm, pl (B, ceil(S/2)) uint32, pws (B, ceil(S/2)) int8, bits,
+    bad, fat (B,) bool) — the native pair packer's input layout.
     """
     if kernel != "xla":
         from .pallas.enc_stages import encode_stages_fused
 
-        return encode_stages_fused(
+        c0, c1, c2, ws, bits, bad = encode_stages_fused(
             sig, n, lp, rp, num_samples, max_order=max_order,
             interpret=kernel == "fused-interpret",
         )
-    errs = predictor_errors(sig, n, lp, num_samples, max_order=max_order)
-    zr = zero_run_lengths(errs, n, num_samples)
-    v16, v32, widths, bad = rice_symbols(errs, zr, n, rp, num_samples)
-    c0, c1, c2, ws = merge_symbol_chunks(v16, v32, widths)
-    bits = jnp.sum(ws.astype(I32), axis=1)
+    else:
+        errs = predictor_errors(sig, n, lp, num_samples, max_order=max_order)
+        zr = zero_run_lengths(errs, n, num_samples)
+        v16, v32, widths, bad = rice_symbols(errs, zr, n, rp, num_samples)
+        c0, c1, c2, ws = merge_symbol_chunks(v16, v32, widths)
+        bits = jnp.sum(ws.astype(I32), axis=1)
+    if pairs:
+        ph, pm, pl, pws, fat = merge_pair_chunks(c0, c1, c2, ws)
+        return ph, pm, pl, pws, bits, bad, fat
     return c0, c1, c2, ws, bits, bad
 
 
@@ -362,12 +425,13 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     jax.jit,
     static_argnames=(
         "num_samples", "max_order", "lw", "sh", "ub8", "wide", "kernel",
+        "pairs",
     ),
 )
 def encode_stages_pcm(
     pcm, stereo, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     max_order: int = MAX_ORDER, lw: int = 0, sh: int = 0, ub8: int = 0,
-    wide: bool = False, kernel: str = "xla",
+    wide: bool = False, kernel: str = "xla", pairs: bool = False,
 ):
     """:func:`encode_stages` fed raw interleaved PCM.
 
@@ -414,7 +478,8 @@ def encode_stages_pcm(
         ]
     )
     return encode_stages(
-        sig, n, lp, rp, num_samples, max_order=max_order, kernel=kernel
+        sig, n, lp, rp, num_samples, max_order=max_order, kernel=kernel,
+        pairs=pairs,
     )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,230 @@
+"""Pair-plane encode packing (ops/encode.merge_pair_chunks + the native
+two-frame pair packer).
+
+The layout halves the host pack stage's per-field bookkeeping and the
+plane D2H; these tests pin (a) the device pair fold against a NumPy
+reference on adversarial widths, (b) byte identity of the whole
+pipeline vs the classic chunk path, (c) the fat-batch fallback wiring
+(non-fitting pairs re-dispatch classic planes), and (d) the native pair
+packer against the BitWriter on random valid pair planes.
+
+The reference has no encoder (SURVEY.md §2 non-goals); payload grammar
+follows AlacFile.cs:428-719 via codec/encoder.py.
+"""
+
+import numpy as np
+import pytest
+
+from alacnet_tpu import native
+from alacnet_tpu.codec.bitwriter import BitWriter
+from alacnet_tpu.codec.cookie import default_cookie
+from alacnet_tpu.codec.encoder import AlacEncoder, EncoderConfig
+from alacnet_tpu.codec.encoder_tpu import (
+    _dispatch, _pack_host, _pack_host_pairs, _prep, encode_frames_tpu,
+)
+
+from .corpus import tone
+
+S = 256
+
+
+def _pair_ref(c0, c1, c2, ws):
+    """NumPy oracle for merge_pair_chunks via Python big ints."""
+    B, s = ws.shape
+    if s % 2:
+        pad = ((0, 0), (0, 1))
+        c0, c1, c2 = (np.pad(x, pad) for x in (c0, c1, c2))
+        ws = np.pad(ws, pad)
+        s += 1
+    NP = s // 2
+    ph = np.zeros((B, NP), np.uint32)
+    pm = np.zeros((B, NP), np.uint32)
+    pl = np.zeros((B, NP), np.uint32)
+    pws = np.zeros((B, NP), np.int8)
+    fat = np.zeros(B, bool)
+    for b in range(B):
+        for j in range(NP):
+            wa, wb = int(ws[b, 2 * j]), int(ws[b, 2 * j + 1])
+            if wa + wb > 96:
+                pws[b, j] = -1
+                fat[b] = True
+                continue
+            va = (int(c0[b, 2 * j]) << 64) | (int(c1[b, 2 * j]) << 32) | int(c2[b, 2 * j])
+            vb = (int(c0[b, 2 * j + 1]) << 64) | (int(c1[b, 2 * j + 1]) << 32) | int(c2[b, 2 * j + 1])
+            v = (va << wb) | vb
+            pws[b, j] = wa + wb
+            ph[b, j] = (v >> 64) & 0xFFFFFFFF
+            pm[b, j] = (v >> 32) & 0xFFFFFFFF
+            pl[b, j] = v & 0xFFFFFFFF
+    return ph, pm, pl, pws, fat
+
+
+def _random_chunks(rng, B, s, wmax=81, allow_fat=False):
+    """Random right-aligned 96-bit chunk planes with widths <= wmax."""
+    ws = rng.integers(0, wmax + 1, (B, s)).astype(np.int8)
+    if not allow_fat:
+        # clamp each pair's combined width to 96
+        for j in range(0, s - 1, 2):
+            over = ws[:, j].astype(int) + ws[:, j + 1] > 96
+            ws[over, j + 1] = 96 - ws[over, j]
+    c0 = np.zeros((B, s), np.uint32)
+    c1 = np.zeros((B, s), np.uint32)
+    c2 = np.zeros((B, s), np.uint32)
+    raw = rng.integers(0, 2**32, (B, s, 3), dtype=np.uint64)
+    for b in range(B):
+        for i in range(s):
+            w = int(ws[b, i])
+            v = (int(raw[b, i, 0]) << 64 | int(raw[b, i, 1]) << 32 | int(raw[b, i, 2])) & ((1 << w) - 1)
+            c0[b, i] = (v >> 64) & 0xFFFFFFFF
+            c1[b, i] = (v >> 32) & 0xFFFFFFFF
+            c2[b, i] = v & 0xFFFFFFFF
+    return c0, c1, c2, ws
+
+
+@pytest.mark.parametrize("s,allow_fat", [(16, False), (15, False), (16, True)])
+def test_merge_pair_chunks_matches_reference(rng, s, allow_fat):
+    from alacnet_tpu.ops.encode import merge_pair_chunks
+
+    c0, c1, c2, ws = _random_chunks(rng, 8, s, allow_fat=allow_fat)
+    got = [np.asarray(x) for x in merge_pair_chunks(c0, c1, c2, ws)]
+    want = _pair_ref(c0, c1, c2, ws)
+    if allow_fat:
+        assert want[4].any(), "fat case failed to materialize"
+    for g, w, name in zip(got, want, ["ph", "pm", "pl", "pws", "fat"]):
+        if name in ("ph", "pm", "pl"):
+            live = np.asarray(want[3]) >= 0  # non-fitting pairs are don't-care
+            assert (g[live] == w[live]).all(), name
+        else:
+            assert (g == w).all(), name
+
+
+CASES = [
+    ("stereo16", 16, 2, EncoderConfig(order=6), "music"),
+    ("stereo24_extrabits", 24, 2,
+     EncoderConfig(order=4, uncompressed_bytes=1), "music"),
+    ("silence_zeroruns", 16, 2, EncoderConfig(order=4), "silence"),
+    ("noise_escapes", 16, 2, EncoderConfig(order=2), "noise"),
+    ("mono16", 16, 1, EncoderConfig(order=4), "music"),
+]
+
+
+def _signal(kind, bits, ch, rng):
+    if kind == "music":
+        return tone(S * 3 + 57, ch, bits, noise=3000.0 if bits == 24 else 60.0)
+    if kind == "silence":
+        pcm = np.zeros((S * 3, ch), np.int32)
+        pcm[40, 0] = 7
+        pcm[500:520] = 3
+        return pcm
+    lim = 1 << (bits - 1)
+    return rng.integers(-lim, lim, (S * 3, ch)).astype(np.int32)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+@pytest.mark.parametrize("name,bits,ch,cfg,kind", CASES, ids=[c[0] for c in CASES])
+def test_pair_pack_byte_identity(name, bits, ch, cfg, kind, rng, monkeypatch):
+    """encode_frames_tpu: pair layout == classic chunk layout, byte for
+    byte, across formats (incl. odd-length tails -> odd pair counts and
+    mixed-shape frame lists -> the C++ single-frame fallback)."""
+    params = default_cookie(44100, bits, ch, max_samples_per_frame=S)
+    pcm = _signal(kind, bits, ch, rng)
+    frames = [pcm[i : i + S] for i in range(0, pcm.shape[0], S)]
+    monkeypatch.setenv("ALAC_ENC_PAIR", "0")
+    classic = encode_frames_tpu(frames, params, cfg)
+    monkeypatch.setenv("ALAC_ENC_PAIR", "1")
+    paired = encode_frames_tpu(frames, params, cfg)
+    assert classic == paired
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_pair_pack_mixed_stereo_mono_frames(rng, monkeypatch):
+    """Adjacent frames with differing channel counts exercise the C++
+    packer's unpaired (single-writer) path."""
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=4)
+    st = tone(S * 4, 2, 16, noise=60.0)
+    frames = [
+        st[:S],
+        np.stack([st[S : 2 * S, 0], np.zeros(S, np.int32)], axis=1)[:199],
+        st[2 * S : 3 * S],
+        st[3 * S :][:77],
+    ]
+    monkeypatch.setenv("ALAC_ENC_PAIR", "0")
+    classic = encode_frames_tpu(frames, params, cfg)
+    monkeypatch.setenv("ALAC_ENC_PAIR", "1")
+    paired = encode_frames_tpu(frames, params, cfg)
+    assert classic == paired
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_fat_batch_falls_back_to_classic(rng):
+    """A set fat flag must re-dispatch the classic planes and still
+    produce correct payloads (the non-fitting-pair escape hatch)."""
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=6)
+    pcm = tone(S * 2, 2, 16, noise=60.0)
+    frames = [pcm[:S], pcm[S:]]
+    enc = AlacEncoder(params, cfg)
+    want = [enc.encode_frame(f) for f in frames]
+
+    prep = _prep(frames, params, cfg, enc)
+    planes = _dispatch(prep, params, cfg, pairs=True)
+    assert prep["pairs"] is True
+    forced = list(planes)
+    forced[-1] = np.ones_like(np.asarray(planes[-1]))  # force fat
+    got = _pack_host_pairs(prep, tuple(forced), None)
+    assert got == want
+    assert prep["pairs"] is False  # fallback resets the routing flag
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_native_pair_packer_vs_bitwriter(rng):
+    """Direct adversarial check: random valid pair planes (widths 0..96,
+    incl. the >64 three-word path), random ragged headers, odd pair
+    counts, paired and unpaired frames -> bit-identical to BitWriter."""
+    F, s = 6, 30  # 15 pairs per lane
+    NP = s // 2
+    c0, c1, c2, ws = _random_chunks(rng, 2 * F, s, wmax=48)
+    ph, pm, pl, pws, fat = _pair_ref(c0, c1, c2, ws)
+    assert not fat.any()
+    n = np.array([s, s, s - 1, s, 7, 0], np.int32)  # mismatched ns -> unpaired
+    stereo = np.array([1, 1, 1, 0, 1, 1], np.uint8)
+    hv_parts, hw_parts, h_off = [], [], [0]
+    for f in range(F):
+        k = int(rng.integers(1, 9))
+        hv_parts.append(rng.integers(0, 2**16, k).astype(np.uint32))
+        hw_parts.append(rng.integers(1, 17, k).astype(np.uint8))
+        h_off.append(h_off[-1] + k)
+    hv = np.concatenate(hv_parts)
+    hw = np.concatenate(hw_parts)
+    h_off = np.asarray(h_off, np.int64)
+
+    total = np.zeros(F, np.int64)
+    for f in range(F):
+        npair = (int(n[f]) + 1) // 2
+        lanes = [f, F + f] if stereo[f] else [f]
+        total[f] = sum(int(hw[i]) for i in range(h_off[f], h_off[f + 1]))
+        total[f] += sum(
+            int(pws[lane, j]) for lane in lanes for j in range(npair)
+        )
+    stride = int(total.max()) // 8 + 8
+    out, end_bits = native.pack_pair_frames_native(
+        hv, hw, h_off, None, None, ph, pm, pl, pws, n, stereo, s, stride
+    )
+    for f in range(F):
+        w = BitWriter()
+        for i in range(h_off[f], h_off[f + 1]):
+            w.write(int(hv[i]) & ((1 << int(hw[i])) - 1), int(hw[i]))
+        npair = (int(n[f]) + 1) // 2
+        for lane in ([f, F + f] if stereo[f] else [f]):
+            for j in range(npair):
+                v = (int(ph[lane, j]) << 64) | (int(pm[lane, j]) << 32) | int(pl[lane, j])
+                wd = int(pws[lane, j])
+                if wd > 64:  # BitWriter caps a single write at 64 bits
+                    w.write(v >> 64, wd - 64)
+                    w.write(v & (1 << 64) - 1, 64)
+                else:
+                    w.write(v, wd)
+        want = w.getvalue()
+        assert int(end_bits[f]) == int(total[f]), f
+        assert out[f, : len(want)].tobytes() == want, f
