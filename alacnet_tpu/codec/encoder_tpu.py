@@ -301,15 +301,16 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
     DP-shard the frames (parallel.mesh.encode_stages_pcm_spmd).
 
     ``pairs`` (default: auto) selects the pair-merged plane layout for
-    the native pair packer.  Mesh and device-pack dispatches stay on
-    the classic per-sample chunk planes (the pair fold is elementwise
-    and would shard fine, but their packers consume chunk planes)."""
+    the native pair packer — on both the single-device and the mesh
+    path (the fold is elementwise, so it shards with the frames).
+    Device-pack dispatches stay on the classic per-sample chunk planes
+    (pack_frames_device consumes those)."""
     import jax.numpy as jnp
 
     from ..ops.encode import RiceEncParams, encode_stages_pcm
 
     if pairs is None:
-        pairs = _enc_pairs() and mesh is None and not _enc_device_pack()
+        pairs = _enc_pairs() and not _enc_device_pack()
     prep["pairs"] = pairs
     if pairs:
         # Non-fitting pairs (fat flag) re-dispatch the classic planes;
@@ -317,7 +318,7 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
         # with pairs forced off, so prep["pairs"] is reset for _pack's
         # routing if the fallback fires.
         prep["_classic_dispatch"] = lambda: _dispatch(
-            prep, params, cfg, mesh=None, pairs=False
+            prep, params, cfg, mesh=mesh, pairs=False
         )
 
     B, S, order = prep["B"], prep["S"], prep["order"]
@@ -354,6 +355,7 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
             max_order=max_order, lw=prep["lw"], sh=prep["sh"],
             ub8=prep["ub8"], wide=prep["wide"],
             kernel=_enc_kernel(mesh.devices.flat[0].platform),
+            pairs=pairs,
         )
     return encode_stages_pcm(
         jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
@@ -493,11 +495,13 @@ def _pack_host_pairs(prep, planes, timings: dict | None):
     if bool(fat.any()):
         prep["pairs"] = False
         return _pack_host(prep, prep["_classic_dispatch"](), timings)
-    ph = np.asarray(ph_d)
-    pm = np.asarray(pm_d)
-    pl = np.asarray(pl_d)
-    pws = np.asarray(pws_d)
-    bits = np.asarray(bits_d).astype(np.int64)
+    # Mesh dispatches return channel-major (2, F, ...) shards; flatten
+    # to the packer's (2F, ...) lane layout after the fetch.
+    ph = _fetch_lane_major(ph_d, 2)
+    pm = _fetch_lane_major(pm_d, 2)
+    pl = _fetch_lane_major(pl_d, 2)
+    pws = _fetch_lane_major(pws_d, 2)
+    bits = _fetch_lane_major(bits_d, 1).astype(np.int64)
     if bool(np.asarray(bad_d).any()):
         raise RuntimeError("encoder state desync: raw < 0")
     _t1 = _time.perf_counter()

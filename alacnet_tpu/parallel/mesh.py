@@ -183,7 +183,7 @@ def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
 def encode_stages_pcm_spmd(
     pcm, stereo, n, lp, rp, mesh: Mesh, num_samples: int,
     max_order: int, lw: int, sh: int, ub8: int, wide: bool,
-    kernel: str = "xla",
+    kernel: str = "xla", pairs: bool = False,
 ):
     """ops/encode.encode_stages_pcm over a frame-sharded mesh — the
     encode mirror of :func:`decode_frames_spmd` (DP over frames, zero
@@ -198,7 +198,9 @@ def encode_stages_pcm_spmd(
     hosts reshape back to (2F, ...) for the packer (a free view).
 
     ``pcm`` (F, S, 2) int32, ``n``/``lp``/``rp`` in the flat (2F,) lane
-    layout.  Returns (c0, c1, c2, ws, bits, bad) each (2, F, ...).
+    layout.  Returns (c0, c1, c2, ws, bits, bad) each (2, F, ...), or
+    the 7-tuple pair-plane layout under ``pairs`` (the fold is
+    elementwise, so it shards with the frames for free).
     """
     from ..ops.encode import RiceEncParams, encode_stages_pcm
     from ..ops.lpc import LpcParams
@@ -233,7 +235,7 @@ def encode_stages_pcm_spmd(
             LpcParams(*(flat(x) for x in lp_l)),
             RiceEncParams(*(flat(x) for x in rp_l)),
             num_samples, max_order=max_order, lw=lw, sh=sh, ub8=ub8,
-            wide=wide, kernel=kernel,
+            wide=wide, kernel=kernel, pairs=pairs,
         )
         return tuple(two(x) for x in out)
 
@@ -242,6 +244,6 @@ def encode_stages_pcm_spmd(
         fn,
         mesh=mesh,
         in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), cspec, cspec, cspec),
-        out_specs=(cspec,) * 6,
+        out_specs=(cspec,) * (7 if pairs else 6),
         check_vma=False,
     )(pcm_d, st_d, n2, lp2, rp2)

@@ -228,3 +228,26 @@ def test_native_pair_packer_vs_bitwriter(rng):
         want = w.getvalue()
         assert int(end_bits[f]) == int(total[f]), f
         assert out[f, : len(want)].tobytes() == want, f
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_pair_pack_mesh_byte_identity(rng, monkeypatch):
+    """Mesh-sharded encode with pair planes (channel-major shards
+    through _fetch_lane_major) == classic mesh == single-device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from alacnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=6)
+    pcm = tone(S * 16, 2, 16, noise=60.0)
+    arr = pcm.reshape(16, S, 2)
+    monkeypatch.setenv("ALAC_ENC_PAIR", "0")
+    classic = encode_frames_tpu(arr, params, cfg, mesh=mesh)
+    monkeypatch.setenv("ALAC_ENC_PAIR", "1")
+    paired = encode_frames_tpu(arr, params, cfg, mesh=mesh)
+    single = encode_frames_tpu(arr, params, cfg)
+    assert classic == paired == single
