@@ -225,6 +225,60 @@ def check_encstage(frames: int, frame_samples: int, seed: int) -> dict:
     }
 
 
+def check_encpairs(frames: int, frame_samples: int, seed: int) -> dict:
+    """Pair-plane packing on hardware: the fused kernels' chunk planes
+    through merge_pair_chunks + the native two-frame pair packer vs the
+    classic per-sample chunk path — byte-identical payloads over mixed
+    content (music, silence zero-runs, noise escapes, mono, partial
+    frames, 24-bit extra-bits).  Pins the compiled lowering of the
+    96-bit pair fold's multi-word shifts."""
+    import os
+
+    from alacnet_tpu.bench_lib import _music_pcm
+    from alacnet_tpu.codec.cookie import default_cookie
+    from alacnet_tpu.codec.encoder import EncoderConfig
+    from alacnet_tpu.codec.encoder_tpu import encode_frames_tpu
+
+    rng = np.random.default_rng(seed)
+    S = frame_samples
+    t0 = time.time()
+    ok = True
+    saved = os.environ.get("ALAC_ENC_PAIR")
+
+    def both(params, fr, cfg):
+        os.environ["ALAC_ENC_PAIR"] = "0"
+        want = encode_frames_tpu(fr, params, cfg)
+        os.environ["ALAC_ENC_PAIR"] = "1"
+        got = encode_frames_tpu(fr, params, cfg)
+        return got == want
+
+    try:
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+        pcm = _music_pcm(frames * S, 16, 2, rng)
+        pcm[2 * S : 4 * S] = 0
+        pcm[5 * S : 6 * S] = rng.integers(-32768, 32767, (S, 2))
+        fr = [pcm[i * S : (i + 1) * S] for i in range(frames)]
+        fr[1] = fr[1][: S // 2 + 7]  # partial -> odd pair tail
+        fr[3] = fr[3][:, :1]  # mono -> unpaired C++ path neighbor
+        ok = ok and both(params, fr, EncoderConfig(order=6))
+        p24 = default_cookie(96000, 24, 2, max_samples_per_frame=S)
+        pcm24 = _music_pcm(8 * S, 24, 2, rng)
+        fr24 = [pcm24[i * S : (i + 1) * S] for i in range(8)]
+        ok = ok and both(
+            p24, fr24, EncoderConfig(order=6, uncompressed_bytes=1)
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("ALAC_ENC_PAIR", None)
+        else:
+            os.environ["ALAC_ENC_PAIR"] = saved
+    return {
+        "parity_ok": bool(ok),
+        "frames": frames,
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def check_fuzz(count: int, seed: int) -> dict:
     """Compiled fused == XLA == scalar oracle on random-body payloads."""
     from tests.test_fuzz_differential import S as FS
@@ -310,7 +364,7 @@ def main() -> int:
                 k: v for k, v in prior.get("kinds", {}).items()
                 if v.get("parity_ok")
             }
-            for sec in ("devpack", "encpack", "encstage", "fuzz"):
+            for sec in ("devpack", "encpack", "encstage", "encpairs", "fuzz"):
                 if prior.get(sec, {}).get("parity_ok"):
                     record[sec] = prior[sec]
 
@@ -351,6 +405,13 @@ def main() -> int:
         checkpoint()
     all_ok = all_ok and record["encstage"]["parity_ok"]
     print("encstage:", record["encstage"])
+    if "encpairs" not in record:
+        record["encpairs"] = check_encpairs(
+            args.encpack_frames, args.frame_samples, args.seed
+        )
+        checkpoint()
+    all_ok = all_ok and record["encpairs"]["parity_ok"]
+    print("encpairs:", record["encpairs"])
     if "fuzz" not in record:
         record["fuzz"] = check_fuzz(args.fuzz, args.seed)
         checkpoint()
