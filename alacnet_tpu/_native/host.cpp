@@ -823,4 +823,91 @@ void alac_pack_pair_frames(
   }
 }
 
+// Four-frame interleaved variant (A/B experiment): same ABI as
+// alac_pack_pair_frames, but groups of FOUR equal-shape frames advance
+// four independent FastBitWriter accumulator chains in lockstep.  The
+// two-frame interleave measured ~2x over one writer (the chain is the
+// bottleneck, DESIGN.md §7); four chains probe whether the core still
+// has issue slots left or register pressure (4 x 128-bit accumulators)
+// eats the win.  Selected via ALAC_ENC_PAIR_ILV=4 (codec/encoder_tpu);
+// groups with mixed n/stereo fall back to frame-at-a-time, so the
+// output is byte-identical to the two-frame packer on every input.
+void alac_pack_pair_frames4(
+    const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
+    const uint32_t* extra, const uint8_t* extra_w,
+    const uint32_t* ph, const uint32_t* pm, const uint32_t* pl,
+    const int8_t* pws, const int32_t* n, const uint8_t* stereo,
+    int64_t F, int64_t S, int64_t NP,
+    uint8_t* out, int64_t out_stride, int64_t* end_bits) {
+  const int64_t groups = (F + 3) / 4;
+#pragma omp parallel for schedule(dynamic, 4)
+  for (int64_t gp = 0; gp < groups; ++gp) {
+    const int64_t f0 = 4 * gp;
+    bool lock = f0 + 3 < F;
+    for (int64_t t = 1; t < 4 && lock; ++t)
+      lock = n[f0 + t] == n[f0] && stereo[f0 + t] == stereo[f0];
+    if (lock) {
+      FastBitWriter w0(out + (f0 + 0) * out_stride);
+      FastBitWriter w1(out + (f0 + 1) * out_stride);
+      FastBitWriter w2(out + (f0 + 2) * out_stride);
+      FastBitWriter w3(out + (f0 + 3) * out_stride);
+      FastBitWriter* ws4[4] = {&w0, &w1, &w2, &w3};
+      for (int t = 0; t < 4; ++t) {
+        const int64_t ff = f0 + t;
+        const int eb = extra_w != nullptr ? extra_w[ff] : 0;
+        pair_prefix(*ws4[t], hv, hw, h_off[ff], h_off[ff + 1],
+                    extra != nullptr ? extra + ff * S : nullptr, eb, n[ff]);
+      }
+      const int64_t np = (n[f0] + 1) / 2;
+      const int64_t nch = stereo[f0] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const int64_t l0 = (f0 + 0 + c * F) * NP;
+        const int64_t l1 = (f0 + 1 + c * F) * NP;
+        const int64_t l2 = (f0 + 2 + c * F) * NP;
+        const int64_t l3 = (f0 + 3 + c * F) * NP;
+        const uint32_t *ph0 = ph + l0, *pm0 = pm + l0, *pl0 = pl + l0;
+        const uint32_t *ph1 = ph + l1, *pm1 = pm + l1, *pl1 = pl + l1;
+        const uint32_t *ph2 = ph + l2, *pm2 = pm + l2, *pl2 = pl + l2;
+        const uint32_t *ph3 = ph + l3, *pm3 = pm + l3, *pl3 = pl + l3;
+        const int8_t *pw0 = pws + l0, *pw1 = pws + l1;
+        const int8_t *pw2 = pws + l2, *pw3 = pws + l3;
+        int64_t j = 0;
+        for (; j + 1 < np; j += 2) {
+          ALAC_PAIR2(w0, ph0, pm0, pl0, pw0, j)
+          ALAC_PAIR2(w1, ph1, pm1, pl1, pw1, j)
+          ALAC_PAIR2(w2, ph2, pm2, pl2, pw2, j)
+          ALAC_PAIR2(w3, ph3, pm3, pl3, pw3, j)
+        }
+        for (; j < np; ++j) {
+          ALAC_PAIR1(w0, ph0, pm0, pl0, pw0, j)
+          ALAC_PAIR1(w1, ph1, pm1, pl1, pw1, j)
+          ALAC_PAIR1(w2, ph2, pm2, pl2, pw2, j)
+          ALAC_PAIR1(w3, ph3, pm3, pl3, pw3, j)
+        }
+      }
+      for (int t = 0; t < 4; ++t) end_bits[f0 + t] = ws4[t]->finish();
+      continue;
+    }
+    for (int64_t ff = f0; ff < F && ff < f0 + 4; ++ff) {
+      FastBitWriter w(out + ff * out_stride);
+      const int eb = extra_w != nullptr ? extra_w[ff] : 0;
+      pair_prefix(w, hv, hw, h_off[ff], h_off[ff + 1],
+                  extra != nullptr ? extra + ff * S : nullptr, eb, n[ff]);
+      const int64_t np = (n[ff] + 1) / 2;
+      const int64_t nch = stereo[ff] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const int64_t l0 = (ff + c * F) * NP;
+        const uint32_t* ph_ = ph + l0;
+        const uint32_t* pm_ = pm + l0;
+        const uint32_t* pl_ = pl + l0;
+        const int8_t* pw_ = pws + l0;
+        int64_t j = 0;
+        for (; j + 1 < np; j += 2) ALAC_PAIR2(w, ph_, pm_, pl_, pw_, j)
+        for (; j < np; ++j) ALAC_PAIR1(w, ph_, pm_, pl_, pw_, j)
+      }
+      end_bits[ff] = w.finish();
+    }
+  }
+}
+
 }  // extern "C"

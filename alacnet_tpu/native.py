@@ -143,6 +143,10 @@ def get_lib() -> ctypes.CDLL | None:
                 _U8P, ctypes.c_int64, _I64P,
             ]
             lib.alac_pack_pair_frames.restype = None
+            lib.alac_pack_pair_frames4.argtypes = (
+                lib.alac_pack_pair_frames.argtypes
+            )
+            lib.alac_pack_pair_frames4.restype = None
             lib.alac_decorr_window.argtypes = [
                 _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -387,7 +391,15 @@ def pack_pair_frames_native(
     if extra is None:
         extra = np.zeros(1, np.uint32)
         extra_w = np.zeros(F, np.uint8)
-    lib.alac_pack_pair_frames(
+    # ALAC_ENC_PAIR_ILV=4 selects the four-writer interleave (an A/B
+    # knob; byte-identical output — groups that can't lockstep fall
+    # back to frame-at-a-time inside the kernel).
+    fn = (
+        lib.alac_pack_pair_frames4
+        if os.environ.get("ALAC_ENC_PAIR_ILV") == "4"
+        else lib.alac_pack_pair_frames
+    )
+    fn(
         np.ascontiguousarray(hv, np.uint32),
         np.ascontiguousarray(hw, np.uint8),
         np.ascontiguousarray(h_off, np.int64),
