@@ -1,55 +1,99 @@
 """Kernel ablation timing: which step-body pieces cost what (TPU only).
 
-Timing-only — ablated variants produce WRONG results by design.
+Timing-only — ablated variants produce WRONG results by design
+(fused_rice_lpc refuses them unless ALAC_ABLATE=1).
+
+Measurement discipline: ONE executable per variant with the pass
+inside a `lax.fori_loop` (the bench_lib._device_slope_time pattern) —
+per-pass time is the marginal cost (T(2K)-T(K))/K inside a single
+dispatch, so the dev relay's ~30-40 ms RTTs and multi-hundred-ms
+hiccups cancel exactly.  The lane roll between iterations is a
+dynamic multiple of the batch (identity permutation: production block
+layout, but XLA cannot hoist the body).
+
+Usage: python scripts/kablate.py [kind] [--batch N]
 """
-import os, sys, pathlib, time
+import os
+import pathlib
+import sys
+import time
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ["ALAC_ABLATE"] = "1"  # opt in: ablated output is wrong by design
-import jax, jax.numpy as jnp, numpy as np
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-from scripts.kbench import corpus
-from alacnet_tpu.ops.pallas.rice_lpc import fused_rice_lpc
 
-kind = sys.argv[1] if len(sys.argv) > 1 else "music"
-fb = corpus(kind)
+from scripts.kbench import corpus  # noqa: E402
+
+from alacnet_tpu.ops.pallas.rice_lpc import fused_rice_lpc  # noqa: E402
+
 S = 4096
-args0 = (fb.entropy_pos, fb.n_samples, fb.rss, fb.kmod, fb.init_history,
-         fb.rice_mult[:,0], fb.kmask, fb.order[:,0], fb.quant[:,0], fb.rc[:,0])
-rng = np.random.default_rng()
-R = 5
-base = int(rng.integers(1, 4000))
-variants = []
-for r in range(R+1):
-    w = jnp.asarray(np.roll(fb.words, base+r, axis=0))
-    a = tuple(jnp.asarray(np.roll(np.asarray(x), base+r, axis=0)) for x in args0)
-    variants.append((w, a))
-force = jnp.zeros((), jnp.uint32)
-for w,a in variants:
-    force = force + jnp.sum(w) + sum(jnp.sum(x).astype(jnp.uint32) for x in a)
-force.item()
-orders = fb.order[fb.order != 31]
-mo = int(orders.max()) if orders.size else 0
 
-def slope(ablate):
+
+def slope(fb, max_order, ablate, trials=2, target_s=0.3):
+    """Seconds per fused pass, in-executable fori_loop slope."""
     ab = tuple(ablate)
-    o,e = fused_rice_lpc(variants[-1][0], *variants[-1][1], S, max_order=mo, ablate=ab)
-    jnp.sum(e).item()  # compile + warm
-    t0=time.perf_counter()
-    _,e2 = fused_rice_lpc(variants[-1][0], *variants[-1][1], S, max_order=mo, ablate=ab)
-    jnp.sum(e2).item()
-    rtt = time.perf_counter()-t0  # memoized -> RTT only
-    t0=time.perf_counter()
-    accs=[]
-    for r in range(R):
-        w,a = variants[r]
-        _,e3 = fused_rice_lpc(w, *a, S, max_order=mo, ablate=ab)
-        accs.append(jnp.sum(e3))
-    tot=accs[0]
-    for x in accs[1:]: tot=tot+x
-    tot.item()
-    dt=(time.perf_counter()-t0-rtt)/R
-    print(f"{kind} ablate={ab or 'none'}: {dt*1e3:.2f} ms/pass")
-    return dt
+    words = jnp.asarray(fb.words)
+    args = (
+        fb.entropy_pos, fb.n_samples, fb.rss, fb.kmod, fb.init_history,
+        fb.rice_mult[:, 0], fb.kmask, fb.order[:, 0], fb.quant[:, 0],
+        fb.rc[:, 0],
+    )
+    args = tuple(jnp.asarray(np.asarray(x)) for x in args)
+    jnp.sum(words).item()  # force H2D before timing
 
-for ab in ([], ["nozrun"], ["noadapt"], ["nofir"], ["k1"], ["nofetch"], ["staticrange"]):
-    slope(ab)
+    @jax.jit
+    def run(salt, K, w, *a):
+        def body(i, acc):
+            roll = ((i + salt) % 7) * w.shape[0]
+            wr = jnp.roll(w, roll, axis=0)
+            _, end = fused_rice_lpc(wr, *a, S, max_order=max_order,
+                                    ablate=ab)
+            return acc + jnp.sum(end).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K, body, 0.0)
+
+    run(0, 1, words, *args).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    run(0, 2, words, *args).item()
+    per2 = time.perf_counter() - t0
+    K = max(3, int(target_s / max(per2 / 2, 1e-4)))
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        run(2 * t + 1, K, words, *args).item()
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(2 * t + 2, 2 * K, words, *args).item()
+        dt2 = time.perf_counter() - t0
+        best = min(best, (dt2 - dt) / K)
+    return best
+
+
+def main():
+    kind = sys.argv[1] if len(sys.argv) > 1 else "music"
+    batch = 4096
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    fb = corpus(kind, batch=batch)
+    orders = fb.order[fb.order != 31]
+    mo = int(orders.max()) if orders.size else 0
+    nsamp = int(np.minimum(fb.n_samples, S).sum())
+    base = None
+    for ab in ([], ["nozrun"], ["noadapt"], ["nofir"], ["k1"],
+               ["nofetch"], ["staticrange"]):
+        dt = slope(fb, mo, ab)
+        msps = nsamp / dt / 1e6
+        delta = f"  (saves {1e3*(base-dt):+.2f} ms)" if base and ab else ""
+        print(f"{kind} ablate={tuple(ab) or 'none'}: {dt*1e3:.2f} ms/pass "
+              f"{msps:8.1f} Msps{delta}")
+        if not ab:
+            base = dt
+
+
+if __name__ == "__main__":
+    main()
