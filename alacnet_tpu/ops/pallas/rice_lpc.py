@@ -262,6 +262,37 @@ def _fetch_mode() -> str:
     return mode
 
 
+def _range_mode() -> int:
+    """ALAC_FETCH_RANGE: per-pair fetch-bound policy (kernel-build time).
+
+    ``pair`` (0)      — exact cross-lane range reduce every pair.
+    ``amort`` (4)     — exact reduce every 4 pairs; between tightens the
+                        sweep upper bound grows one group per pair
+                        (always sound; see _kernel.tighten).
+    ``amort:N``       — tighten every N pairs.
+
+    Default ``amort`` (= amort:4): hardware A/B over all six corpus
+    kinds (scripts/kbench.py, TPU v5e) — music 3175->7179, hires24
+    3587->8732, fat24 3713->5892, spiky 4620->5758 Msps/chan-pass;
+    orders/silence unchanged.  amort:2/8/16 all measured worse than
+    amort:4 on music+fat24; ``pair`` keeps the exact per-pair reduce
+    for A/B reference.
+    """
+    mode = os.environ.get("ALAC_FETCH_RANGE", "amort")
+    if mode == "pair":
+        return 0
+    if mode == "amort":
+        return 4
+    if mode.startswith("amort:"):
+        m = int(mode.split(":", 1)[1])
+        if m < 1:
+            raise ValueError(f"ALAC_FETCH_RANGE={mode!r}: N must be >= 1")
+        return m
+    raise ValueError(
+        f"ALAC_FETCH_RANGE={mode!r}: expected pair, amort, or amort:N"
+    )
+
+
 def make_fetch_words(wvmem, W8: int, sub: int):
     """Group-sweep word fetcher over a VMEM-resident (W8, 8, sub, 128)
     table: fetch_words(wp, live, K) -> K (sub,128) uint32 words at
@@ -275,12 +306,18 @@ def make_fetch_words(wvmem, W8: int, sub: int):
 
     mode = _fetch_mode()
 
-    def fetch_words(wp, live, K: int, ablate=(), base=None):
+    def fetch_words(wp, live, K: int, ablate=(), base=None, bounds=None):
         lives = live if isinstance(live, (list, tuple)) else [live] * K
         wps = [jnp.clip(wp + k, 0, W8 * 8 - 1) for k in range(K)]
         if "staticrange" in ablate:  # timing ablation only — breaks parity
             g_lo = jnp.zeros((), I32)
             g_hi = jnp.ones((), I32)
+        elif bounds is not None:
+            # Caller-supplied conservative [g_lo, g_hi] (amortized range
+            # mode): must cover every fetching lane's group — the
+            # per-word select self-masks by (wpk>>3)==g, so a WIDER
+            # range only costs sweep iterations, never correctness.
+            g_lo, g_hi = bounds
         else:
             # Conservative range [min word-0 group, max word-K-1 group
             # over any fetching lane]: word k's select self-masks by
@@ -402,7 +439,7 @@ def _decode_event(R, roff, off, rss, k, mult_mask):
 
 def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             wvmem, otile, sem_w, sem_o, *, W8, S, max_order,
-            out_tile, sub, stream_G=0, ablate=()):
+            out_tile, sub, stream_G=0, range_M=0, ablate=()):
     nb = pl.program_id(0)
     if not stream_G:
         # Stage this block's whole word table into VMEM (one DMA).
@@ -461,7 +498,24 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         # ---- reservoir init: R = words[wp0 .. wp0+8) ----
         R = fetch_words(wp0, live0, 8)
 
+    def tighten(wp, active):
+        """Exact fetch-group bounds over active (not-yet-finished) lanes.
+
+        Covers this pair's refill range wp+8..wp+12 for EVERY active
+        lane (not just lanes fetching this pair: a lane idle now may
+        fetch next pair from a position at/after its current wp, and
+        per-pair growth is bounded below).  Mirrors the per-pair exact
+        reduce's clipping so end-of-table lanes stay in [0, W8-1].
+        """
+        lo8 = jnp.minimum((wp + 8) >> 3, W8 - 1)
+        hi12 = jnp.minimum((wp + 12) >> 3, W8 - 1)
+        g_lo = jnp.min(jnp.where(active, lo8, W8)).astype(I32)
+        g_hi = jnp.max(jnp.where(active, hi12, 0)).astype(I32)
+        return g_lo, g_hi
+
     def step(i, carry):
+        if range_M:
+            *carry, g_lo, g_hi = carry
         bitpos, wp, *R, hist, signmod, zrun, prev, D, rc = carry
         active = i < n
         in_zero = zrun > 0
@@ -583,12 +637,13 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             do, jnp.where(zcond, bsize, 0), jnp.where(active & in_zero, zrun - 1, zrun)
         )
         prev_n = jnp.where(active, out, prev)
-        return (
+        ret = (
             bitpos2, wp, *R,
             hist_n, sign_n, zrun_n, prev_n, D, rc,
         )
+        return (*ret, g_lo, g_hi) if range_M else ret
 
-    def advance(carry, base=None):
+    def advance(carry, base=None, j=None):
         """Renormalize the 8-word reservoir after a pair of samples.
 
         Two samples consume <= 132 bits, so the intra-reservoir offset is
@@ -597,10 +652,38 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         pair instead of per sample — the reduces and sweep setup were
         measured as ~35% of the whole kernel (staticrange ablation).
         """
+        if range_M:
+            *carry, g_lo, g_hi = carry
         bitpos, wp, *R, hist, signmod, zrun, prev, D, rc = carry
         wp_new = bitpos >> 5
         shifts = wp_new - wp  # 0..5
         need = shifts > 0
+        bounds = None
+        if range_M:
+            # Amortized range mode: the exact cross-lane reduce + its
+            # vector->scalar extraction (the measured-dominant cost of
+            # the fetch, scripts/kablate.py) runs only every range_M
+            # pairs; between tightens g_hi grows by 1 per pair — always
+            # sound, because a pair consumes <= 5 words (< one group)
+            # and g_lo is monotone non-decreasing over active lanes.
+            # range_M implies the 2x-unrolled pair loop (enforced at
+            # plan time), so j is a PAIR index and sample 2j is the
+            # pair's first: a lane is active iff it still has samples.
+            active = (2 * j) < n
+            g_lo, g_hi = jax.lax.cond(
+                (j % range_M) == 0,
+                lambda: tighten(wp, active),
+                lambda: (g_lo, g_hi),
+            )
+            if base is None:
+                lo_eff, hi_eff = g_lo, jnp.minimum(g_hi, W8 - 1)
+            else:
+                # Streaming window: resident groups are [base, base+G).
+                # fits() guarantees every ACTUAL need is inside; the
+                # grown bound may poke past, so clamp the sweep.
+                lo_eff = jnp.maximum(g_lo, base)
+                hi_eff = jnp.minimum(g_hi, base + stream_G - 1)
+            bounds = (lo_eff, hi_eff)
         if "nofetch" in ablate:  # timing ablation only — breaks parity
             F = (R[1], R[2], R[3], R[4], R[5])
         elif "k1" in ablate:  # timing ablation only
@@ -609,15 +692,16 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         else:
             F = fetch_words(
                 wp + 8, [shifts > k for k in range(5)], 5, ablate=ablate,
-                base=base,
+                base=base, bounds=bounds,
             )
         R = list(R)
         for kk in range(5):
             c = shifts > kk
-            for j in range(7):
-                R[j] = jnp.where(c, R[j + 1], R[j])
+            for j2 in range(7):
+                R[j2] = jnp.where(c, R[j2 + 1], R[j2])
             R[7] = jnp.where(c, F[kk], R[7])
-        return (bitpos, wp_new, *R, hist, signmod, zrun, prev, D, rc)
+        ret = (bitpos, wp_new, *R, hist, signmod, zrun, prev, D, rc)
+        return (*ret, g_lo, g_hi + 1) if range_M else ret
 
     zeros = jnp.zeros((sub, LN), I32)
     carry = (
@@ -631,6 +715,8 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         tuple(D0[: tmax + 1]),
         rc0,
     )
+    if range_M:
+        carry = (*carry, *tighten(wp0, live0))
     # Dynamic trip count: the loop stops at this block's max sample count
     # instead of S — blocks are size-sorted upstream, so short/partial
     # frames cluster and their blocks exit early (a block of quarter-
@@ -657,9 +743,9 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         def stepu(j, c, base):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
-            return advance(c, base=base)
+            return advance(c, base=base, j=j)
 
-        def fits(j, carry, base):
+        def fits_exact(j, carry, base):
             """Can pair j run entirely from window [base, base+G)?
             A pair consumes <= 5 words and its renormalization fetches
             words wp+8..wp+12, so worst need is wp+17; lanes never read
@@ -668,6 +754,19 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             live = (unroll * j) < n
             hi = jnp.max(jnp.where(live, wp, 0)) + 17
             return jnp.minimum(hi >> 3, W8 - 1) < base + stream_G
+
+        def fits(j, carry, base):
+            """Scalar-only fits in amortized range mode: the carried
+            g_hi bounds every active lane's (wp+12)>>3, so the pair's
+            worst need (wp+17)>>3 <= g_hi + 1.  Conservative by <= 1
+            group (8 words) — a window reload fires slightly early but
+            the reload's own exact re-tighten keeps stall behavior
+            anchored to fits_exact (outer_body checks the first pair
+            exactly)."""
+            if not range_M:
+                return fits_exact(j, carry, base)
+            g_hi = carry[-1]
+            return jnp.minimum(g_hi + 1, W8 - 1) < base + stream_G
 
         def outer_cond(st):
             j, stall, _ = st
@@ -679,6 +778,10 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
             live = (unroll * j0) < n
             base = window_base(wp, live)
             load_window(base)
+            if range_M:
+                # Fresh window: re-tighten the carried bounds exactly so
+                # the scalar fits() (and the first sweeps) start tight.
+                carry = (*carry[:-2], *tighten(wp, live))
 
             def inner_cond(t):
                 return t[1]
@@ -689,9 +792,12 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
                 j = j + 1
                 return (j, (j < trips) & fits(j, c, base), c)
 
+            # First-pair admission is checked EXACTLY in both modes:
+            # stall (j1 == j0 -> whole-table retry) must never fire on
+            # the amortized bound's <= 1-group overshoot.
             j1, _, carry = jax.lax.while_loop(
                 inner_cond, inner_body,
-                (j0, (j0 < trips) & fits(j0, carry, base), carry),
+                (j0, (j0 < trips) & fits_exact(j0, carry, base), carry),
             )
             return (j1, j1 == j0, carry)
 
@@ -703,12 +809,13 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
         def stepu(j, c):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
-            return advance(c)
+            return advance(c, j=j)
 
         trips = (nmax + unroll - 1) // unroll  # may overshoot (masked steps)
         carry = jax.lax.fori_loop(0, trips, stepu, carry)
         processed = unroll * trips
     else:
+        assert not range_M, "amortized range mode requires the pair loop"
         carry = jax.lax.fori_loop(0, nmax, lambda i, c: advance(step(i, c)), carry)
         processed = nmax
 
@@ -744,7 +851,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     jax.jit,
     static_argnames=(
         "num_samples", "max_order", "interpret", "whole_table", "ablate",
-        "sub_hint",
+        "sub_hint", "range_mode",
     ),
 )
 def fused_rice_lpc(
@@ -759,6 +866,7 @@ def fused_rice_lpc(
     whole_table: bool = False,
     ablate: tuple = (),
     sub_hint: int = 0,
+    range_mode: int | None = None,
 ):
     """Decode+reconstruct one channel for a lane batch.
 
@@ -811,9 +919,12 @@ def fused_rice_lpc(
         stream_G = 0  # streaming's stall tail-flush needs out_tile | S
         sub = pick_sub(B, W8)
         lanes, NB = sub * LN, B // (sub * LN)
+    range_M = _range_mode() if range_mode is None else range_mode
+    if S % 2:
+        range_M = 0  # amortized bounds ride the 2x-unrolled pair loop
     kern = functools.partial(
         _kernel, W8=W8, S=S, max_order=max_order, out_tile=out_tile, sub=sub,
-        stream_G=stream_G, ablate=ablate,
+        stream_G=stream_G, range_M=range_M, ablate=ablate,
     )
     out, state = pl.pallas_call(
         kern,

@@ -356,6 +356,68 @@ def test_fetch_mode_validated(monkeypatch):
     assert _fetch_mode() == "ladder"
 
 
+@pytest.mark.parametrize("range_mode", [0, 1, 7])
+def test_fetch_range_mode_parity(range_mode, rng):
+    """Amortized fetch-range bounds (ALAC_FETCH_RANGE) vs the XLA path.
+
+    The suite's other tests all run the env default (amort:4); this pins
+    the exact per-pair mode (0) and two off-default periods against the
+    same reference so the grown-bound bookkeeping in _kernel.advance can
+    never silently become load-bearing for only one N.
+    """
+    S = 64
+    payloads, params = _mixed_payloads(S, 16, rng)
+    fb = parse_frame_headers_vec(payloads, params)
+    B0 = fb.batch
+
+    def pad(a):
+        out = np.zeros((LANES,) + a.shape[1:], a.dtype)
+        out[:B0] = a
+        return jnp.asarray(out)
+
+    words = pad(fb.words)
+    n = pad(fb.n_samples)
+    start = pad(fb.entropy_pos)
+    rp = RiceParams(
+        rss=pad(fb.rss), kmod=pad(fb.kmod), init_history=pad(fb.init_history),
+        mult=pad(fb.rice_mult[:, 0]), kmask=pad(fb.kmask),
+    )
+    err, endp = rice_decode(words, start, n, rp, S)
+    ref = lpc_decode(
+        err, n,
+        LpcParams(order=pad(fb.order[:, 0]), quant=pad(fb.quant[:, 0]),
+                  rc=pad(fb.rc[:, 0]), rss=rp.rss),
+        S,
+    )
+    out, end = fused_rice_lpc(
+        words, start, n,
+        rp.rss, rp.kmod, rp.init_history, rp.mult, rp.kmask,
+        pad(fb.order[:, 0]), pad(fb.quant[:, 0]), pad(fb.rc[:, 0]),
+        S,
+        interpret=jax.default_backend() != "tpu",
+        range_mode=range_mode,
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
+    np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
+
+
+def test_fetch_range_env_validated(monkeypatch):
+    from alacnet_tpu.ops.pallas.rice_lpc import _range_mode
+
+    monkeypatch.setenv("ALAC_FETCH_RANGE", "bogus")
+    with pytest.raises(ValueError, match="ALAC_FETCH_RANGE"):
+        _range_mode()
+    monkeypatch.setenv("ALAC_FETCH_RANGE", "amort:0")
+    with pytest.raises(ValueError, match="N must be"):
+        _range_mode()
+    monkeypatch.setenv("ALAC_FETCH_RANGE", "amort:12")
+    assert _range_mode() == 12
+    monkeypatch.setenv("ALAC_FETCH_RANGE", "pair")
+    assert _range_mode() == 0
+    monkeypatch.delenv("ALAC_FETCH_RANGE")
+    assert _range_mode() == 4
+
+
 class TestStreamingWindow:
     """Sliding-window word table (fat frames at sub=8; rice_lpc.plan_tiles)."""
 
