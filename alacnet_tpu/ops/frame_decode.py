@@ -290,7 +290,7 @@ def _decode_frames_impl(
     if use_fused:
         # Affine-stride extraction via the bulk-bits kernel (the XLA
         # (B,S)-indexed gather costs ~0.4 s at 4096x4096 on v5e).
-        from .pallas.bulk_bits import bulk_bits
+        from .pallas.bulk_bits import bulk_bits, bulk_range_mode
 
         ub8 = m.ub * 8
         n_eb = jnp.where((m.ub > 0) & m.is_compressed, n, 0)
@@ -304,7 +304,7 @@ def _decode_frames_impl(
                 words, m.payload_pos, n_eb, ub8,
                 jnp.where(m.is_stereo, ub8, 0), S,
                 whole_table=whole_table, sub_hint=sub_hint,
-                interpret=interpret,
+                interpret=interpret, range_mode=bulk_range_mode(),
             ),
             zeros_bs3,
         )
@@ -360,7 +360,7 @@ def _decode_frames_impl(
     # ---- raw path (cond'd out when every lane is compressed) ----
     any_raw = jnp.any(~m.is_compressed)
     if use_fused:
-        from .pallas.bulk_bits import bulk_bits
+        from .pallas.bulk_bits import bulk_bits, bulk_range_mode
 
         n_raw = jnp.where(m.is_compressed, 0, n)
 
@@ -369,7 +369,7 @@ def _decode_frames_impl(
                 words, m.payload_pos, n_raw, m.sample_size,
                 jnp.where(m.is_stereo, m.sample_size, 0), S,
                 whole_table=whole_table, sub_hint=sub_hint,
-                interpret=interpret,
+                interpret=interpret, range_mode=bulk_range_mode(),
             )
             return _extend_raw(ra, m), _extend_raw(rb, m), rst
 

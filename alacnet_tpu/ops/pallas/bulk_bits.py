@@ -20,6 +20,7 @@ XLA epilogue (ops/frame_decode.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +44,40 @@ from .rice_lpc import (
 B_START, B_N, B_N1, B_N2 = range(4)
 OUT_TILE = 256
 
+#: Fetch-range policies (the affine twin of rice_lpc._range_mode):
+#:   affine — cross-lane [g_lo, g_hi] fetch bounds come from FOUR scalar
+#:            reduces done once pre-loop.  Sound because active lanes
+#:            advance in sample LOCKSTEP at a per-lane FIXED stride, so
+#:            lane l's word pointer at sample i is exactly
+#:            (start_l + i*stride_l) >> 5 and
+#:            min_l(start_l + i*stride_l) >= min(start) + i*min(stride)
+#:            (max symmetric).  The per-word select self-masks by
+#:            (wp>>3)==g, so a wider range only costs sweep iterations.
+#:            Removes EVERY in-loop cross-lane reduce (incl. the
+#:            streaming window's per-quad `fits` max) — the reduces +
+#:            scalar extractions were ~85% of the fetch machinery's cost
+#:            (DESIGN.md §4f/§4j).  For format-clustered production
+#:            blocks strides are uniform and the bound is exact.
+#:   exact  — the per-quad cross-lane reduce (round-2 behavior), kept
+#:            for A/B reference.
+BULK_RANGE_MODES = ("affine", "exact")
+
+
+def bulk_range_mode() -> str:
+    """ALAC_BULK_RANGE, read at DISPATCH time by production call sites
+    (ops/frame_decode) and passed to bulk_bits as a static arg — so an
+    env change after import retraces instead of being silently stale."""
+    mode = os.environ.get("ALAC_BULK_RANGE", "affine")
+    if mode not in BULK_RANGE_MODES:
+        raise ValueError(
+            f"ALAC_BULK_RANGE={mode!r}: expected one of {BULK_RANGE_MODES}"
+        )
+    return mode
+
 
 def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
             wvmem, ta, tb, sem_w, sem_o, *, W8, S, out_tile, sub,
-            stream_G=0):
+            stream_G=0, affine_range=True):
     nb = pl.program_id(0)
     if not stream_G:
         cp = pltpu.make_async_copy(words_hbm.at[nb], wvmem, sem_w)
@@ -60,6 +91,35 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
     fetch_words = make_fetch_words(wvmem, W8, sub)
     live0 = n > 0
     wp0 = jnp.where(live0, start >> 5, jnp.zeros_like(start))
+
+    if affine_range:
+        # Affine cross-lane fetch bounds (see BULK_RANGE_MODES): four
+        # scalar reduces ONCE, then zero in-loop reduces.  Fill values
+        # keep the no-live-lane products in int32 range (W8*256 is the
+        # table's total bit count; stride <= 48 by the bulk_bits
+        # contract), and an empty live set yields g_lo > g_hi = a
+        # zero-trip sweep.
+        a_lo = jnp.min(jnp.where(live0, start, jnp.int32(W8 * 256)))
+        a_hi = jnp.max(jnp.where(live0, start, 0))
+        t_lo = jnp.min(jnp.where(live0, stride, 48))
+        t_hi = jnp.max(jnp.where(live0, stride, 0))
+
+        def fetch_bounds(i, lo_off, hi_off, base=None):
+            """Group range covering every live lane's fetch of words
+            [wp+lo_off, wp+hi_off] at sample index i, clamped to the
+            table (or to the resident streaming window — sound because
+            admission guarantees live lanes' needs are resident)."""
+            g_lo = (((a_lo + i * t_lo) >> 5) + lo_off) >> 3
+            g_hi = (((a_hi + i * t_hi) >> 5) + hi_off) >> 3
+            if base is None:
+                return jnp.maximum(g_lo, 0), jnp.minimum(g_hi, W8 - 1)
+            return (
+                jnp.maximum(g_lo, base),
+                jnp.minimum(g_hi, base + stream_G - 1),
+            )
+    else:
+        def fetch_bounds(i, lo_off, hi_off, base=None):
+            return None
 
     def load_window(base):
         cpw = pltpu.make_async_copy(
@@ -75,10 +135,13 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
     if stream_G:
         base0 = window_base(wp0, live0)
         load_window(base0)
-        R = fetch_words(wp0, live0, 8, base=base0)
+        R = fetch_words(
+            wp0, live0, 8, base=base0,
+            bounds=fetch_bounds(0, 0, 7, base=base0),
+        )
     else:
         cp.wait()
-        R = fetch_words(wp0, live0, 8)
+        R = fetch_words(wp0, live0, 8, bounds=fetch_bounds(0, 0, 7))
 
     def step(i, carry):
         """One (A, B) field pair; the reservoir refills per QUAD of
@@ -109,11 +172,19 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
         bitpos2 = jnp.where(active, bitpos + stride, bitpos)
         return (bitpos2, wp, *R8)
 
-    def advance(carry, base=None):
+    def advance(carry, i0, base=None):
+        """Renormalize the reservoir after the quad (or single step)
+        whose FIRST sample index is past and whose old wp corresponds to
+        sample index ``i0`` — every lane with shifts>0 was live through
+        sample i0, so its old wp is exactly (start + i0*stride) >> 5 and
+        the affine bounds at i0 cover the fetch."""
         bitpos, wp, *R8 = carry
         wp_new = bitpos >> 5
         shifts = wp_new - wp  # 0..6 after a quad
-        F = fetch_words(wp + 8, [shifts > k for k in range(6)], 6, base=base)
+        F = fetch_words(
+            wp + 8, [shifts > k for k in range(6)], 6, base=base,
+            bounds=fetch_bounds(i0, 8, 13, base=base),
+        )
         R8 = list(R8)
         for kk in range(6):
             c = shifts > kk
@@ -140,13 +211,26 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
         def stepq_b(j, c, base):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
-            return advance(c, base=base)
+            return advance(c, unroll * j, base=base)
 
         def fits(j, carry, base):
+            """Exact (cross-lane reduce) window-admission check — used
+            once per window reload so the stall/whole-table fallback
+            fires exactly when round 2's did."""
             wp = carry[1]
             live = (unroll * j) < n
             hi = jnp.max(jnp.where(live, wp, 0)) + 20
             return jnp.minimum(hi >> 3, W8 - 1) < base + stream_G
+
+        def fits_fast(j, carry, base):
+            """Per-quad continuation check: affine upper bound, no
+            reduce.  Conservative — a False only reloads the window
+            earlier (then admission re-checks exactly), never stalls a
+            quad the exact check would admit at reload."""
+            if not affine_range:
+                return fits(j, carry, base)
+            whi = (a_hi + (unroll * j) * t_hi) >> 5
+            return jnp.minimum((whi + 20) >> 3, W8 - 1) < base + stream_G
 
         def outer_cond(st):
             j, stall, _ = st
@@ -163,7 +247,7 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
                 j, _, c = t
                 c = stepq_b(j, c, base)
                 j = j + 1
-                return (j, (j < trips) & fits(j, c, base), c)
+                return (j, (j < trips) & fits_fast(j, c, base), c)
 
             j1, _, carry = jax.lax.while_loop(
                 lambda t: t[1], inner_body,
@@ -179,14 +263,14 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
         def stepq(j, c):
             for u in range(unroll):
                 c = step(unroll * j + u, c)
-            return advance(c)
+            return advance(c, unroll * j)
 
         trips = (nmax + unroll - 1) // unroll
         carry = jax.lax.fori_loop(0, trips, stepq, carry)
         processed = unroll * trips
     else:
         carry = jax.lax.fori_loop(
-            0, nmax, lambda i, c: advance(step(i, c)), carry
+            0, nmax, lambda i, c: advance(step(i, c), i), carry
         )
         processed = nmax
     if dynamic_stop:
@@ -207,7 +291,9 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_samples", "interpret", "whole_table", "sub_hint"),
+    static_argnames=(
+        "num_samples", "interpret", "whole_table", "sub_hint", "range_mode",
+    ),
 )
 def bulk_bits(
     words,  # (B, W) uint32, B % 1024 == 0, W % 8 == 0
@@ -219,6 +305,7 @@ def bulk_bits(
     interpret: bool = False,
     whole_table: bool = False,
     sub_hint: int = 0,
+    range_mode: str = "affine",
 ):
     """Extract (A, B) field streams at a fixed per-lane stride.
 
@@ -236,6 +323,10 @@ def bulk_bits(
     renormalization — do NOT widen the fields without revisiting the
     reservoir arithmetic.
     """
+    if range_mode not in BULK_RANGE_MODES:
+        raise ValueError(
+            f"range_mode={range_mode!r}: expected one of {BULK_RANGE_MODES}"
+        )
     B, W = words.shape
     assert B % LANES == 0 and W % 8 == 0, (B, W)
     W8 = W // 8
@@ -256,7 +347,8 @@ def bulk_bits(
     paramsv = params.reshape(NP, NB, sub, LN).transpose(1, 0, 2, 3)
     out_tile = min(OUT_TILE if sub <= 8 else 128, S)
     kern = functools.partial(
-        _kernel, W8=W8, S=S, out_tile=out_tile, sub=sub, stream_G=stream_G
+        _kernel, W8=W8, S=S, out_tile=out_tile, sub=sub, stream_G=stream_G,
+        affine_range=range_mode == "affine",
     )
     outa, outb, state = pl.pallas_call(
         kern,

@@ -91,9 +91,15 @@ def test_fused_kernel_matches_xla_path(bits, rng):
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
 
 
+@pytest.mark.parametrize("range_mode", ["affine", "exact"])
 @pytest.mark.parametrize("cfg", ["extra_bits", "raw16", "raw24"])
-def test_bulk_bits_matches_xla_gather(cfg, rng):
-    """The fixed-stride bulk-bits kernel vs the XLA gather formulation."""
+def test_bulk_bits_matches_xla_gather(cfg, range_mode, rng):
+    """The fixed-stride bulk-bits kernel vs the XLA gather formulation.
+
+    Both fetch-range policies (BULK_RANGE_MODES) are pinned against the
+    same reference: the affine-bounds derivation (lockstep sample index
+    x fixed stride) must stay interchangeable with the exact per-quad
+    cross-lane reduce."""
     from alacnet_tpu.ops.bitreader import gather_bits
     from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits
 
@@ -117,7 +123,7 @@ def test_bulk_bits_matches_xla_gather(cfg, rng):
         n2 = np.where(rng.integers(0, 2, B) > 0, 24, 0).astype(np.int32)
     a, b, stalled = bulk_bits(
         words, start, n, jnp.asarray(n1), jnp.asarray(n2), S,
-        interpret=jax.default_backend() != "tpu",
+        interpret=jax.default_backend() != "tpu", range_mode=range_mode,
     )
     assert not np.asarray(stalled).any()
     stride = (n1 + n2).astype(np.int32)
@@ -418,6 +424,24 @@ def test_fetch_range_env_validated(monkeypatch):
     assert _range_mode() == 4
 
 
+def test_bulk_range_env_validated(monkeypatch):
+    from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits, bulk_range_mode
+
+    monkeypatch.setenv("ALAC_BULK_RANGE", "bogus")
+    with pytest.raises(ValueError, match="ALAC_BULK_RANGE"):
+        bulk_range_mode()
+    monkeypatch.setenv("ALAC_BULK_RANGE", "exact")
+    assert bulk_range_mode() == "exact"
+    monkeypatch.delenv("ALAC_BULK_RANGE")
+    assert bulk_range_mode() == "affine"
+    with pytest.raises(ValueError, match="range_mode"):
+        bulk_bits(
+            jnp.zeros((LANES, 8), jnp.uint32), jnp.zeros(LANES, jnp.int32),
+            jnp.zeros(LANES, jnp.int32), jnp.ones(LANES, jnp.int32),
+            jnp.zeros(LANES, jnp.int32), 8, range_mode="bogus",
+        )
+
+
 class TestStreamingWindow:
     """Sliding-window word table (fat frames at sub=8; rice_lpc.plan_tiles)."""
 
@@ -589,10 +613,14 @@ def test_streaming_sub16_band_parity(rng, monkeypatch, via):
     fused_rice_lpc._clear_cache()  # env-dependent plan must not leak
 
 
-def test_bulk_bits_streaming_window(rng, monkeypatch):
+@pytest.mark.parametrize("range_mode", ["affine", "exact"])
+def test_bulk_bits_streaming_window(rng, monkeypatch, range_mode):
     """bulk_bits over a fat table streams the window (plan_tiles) and
     stays equal to the XLA gather; adversarial stride spread stalls and
-    the whole-table fallback covers it."""
+    the whole-table fallback covers it.  Parametrized over both
+    fetch-range policies: the affine mode's per-quad window-continuation
+    check is conservative, so it must reproduce the exact mode's outputs
+    AND its stall verdicts (admission stays exact in both)."""
     import alacnet_tpu.ops.pallas.rice_lpc as RL
     from alacnet_tpu.ops.bitreader import gather_bits
     from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits
@@ -607,7 +635,8 @@ def test_bulk_bits_streaming_window(rng, monkeypatch):
     n1 = np.full(B, 24, np.int32)
     n2 = np.where(rng.integers(0, 2, B) > 0, 24, 0).astype(np.int32)
     a, b, stalled = bulk_bits(
-        words, start, n, jnp.asarray(n1), jnp.asarray(n2), S, interpret=interp
+        words, start, n, jnp.asarray(n1), jnp.asarray(n2), S,
+        interpret=interp, range_mode=range_mode,
     )
     assert not np.asarray(stalled).any()
     stride = (n1 + n2).astype(np.int32)
@@ -632,6 +661,7 @@ def test_bulk_bits_streaming_window(rng, monkeypatch):
             _, _, st2 = bulk_bits(
                 words, jnp.asarray(start2), n, jnp.asarray(n1),
                 jnp.asarray(n2), S, interpret=interp,
+                range_mode=range_mode,
             )
             assert np.asarray(st2).all()
         finally:
@@ -639,7 +669,7 @@ def test_bulk_bits_streaming_window(rng, monkeypatch):
     # whole-table fallback on the same inputs
     a3, b3, st3 = bulk_bits(
         words, jnp.asarray(start2), n, jnp.asarray(n1), jnp.asarray(n2), S,
-        interpret=interp, whole_table=True,
+        interpret=interp, whole_table=True, range_mode=range_mode,
     )
     assert not np.asarray(st3).any()
     idx3 = np.asarray(start2)[:, None] + np.arange(S, dtype=np.int32)[None, :] * stride[:, None]
