@@ -74,8 +74,9 @@ def _slope(fn, args, trials=3, target_s=0.25):
 
 
 def profile_kind(kind: str, batch: int, S: int = 4096):
-    import jax.numpy as jnp
-
+    """Profile every span the production planner emits for this kind
+    (multi-span kinds — e.g. orders' mixed sample counts — report one
+    block per span plus a sample-weighted aggregate)."""
     distinct, params = make_corpus_frames(
         num_distinct=min(batch, 32), frame_samples=S, bits=16, channels=2,
         kind=kind,
@@ -87,11 +88,31 @@ def profile_kind(kind: str, batch: int, S: int = 4096):
     perm, _, spans, span_batch = plan_blob_batches(
         blob, offsets, sizes, params, batch, strict=True
     )
-    assert len(spans) == 1, f"{kind}: expected one span, got {len(spans)}"
-    lo, hi = spans[0]
-    fb = pad_frame_batch(span_batch(perm[lo:hi]))
+    agg: dict[str, float] = {}
+    agg_total = 0
+    for si, (lo, hi) in enumerate(spans):
+        rows, total = _profile_span(
+            kind, f"{si + 1}/{len(spans)}", S,
+            pad_frame_batch(span_batch(perm[lo:hi])), sizes[perm[lo:hi]],
+        )
+        agg_total += total
+        for name, (per, _) in rows.items():
+            agg[name] = agg.get(name, 0.0) + per
+    if len(spans) > 1:
+        print(f"  --- {kind} aggregate over {len(spans)} spans "
+              f"({agg_total / 1e6:.1f} Msamples) ---")
+        for name, per in agg.items():
+            if per:
+                print(f"  {name:8s} {per*1e3:8.2f} ms  "
+                      f"{agg_total / per / 1e6:8.1f} Msps")
+    return agg
+
+
+def _profile_span(kind, span_label, S, fb, span_sizes):
+    import jax.numpy as jnp
+
     use_fused, max_order = _fused_plan(fb)
-    cap = span_sub_hint(sizes[perm[lo:hi]])
+    cap = span_sub_hint(span_sizes)
     words = jnp.asarray(fb.words)
     packed = jnp.asarray(FrameMetaArrays.pack_host(fb))
     jnp.sum(words).item()  # force H2D
@@ -100,7 +121,10 @@ def profile_kind(kind: str, batch: int, S: int = 4096):
     n = jnp.clip(m.n_samples, 0, S)
     n_comp = jnp.where(m.is_compressed, n, 0)
     n_b = jnp.where(m.is_stereo, n_comp, 0)
-    total = batch * S
+    # honest per-span sample count: padding lanes carry n == 0 and
+    # partial frames n < S, so sum the real per-lane counts
+    total = int(np.minimum(np.asarray(fb.n_samples), S).sum())
+    batch = words.shape[0]
 
     from alacnet_tpu.ops.pallas.bulk_bits import bulk_bits
     from alacnet_tpu.ops.pallas.rice_lpc import fused_rice_lpc
@@ -161,14 +185,16 @@ def profile_kind(kind: str, batch: int, S: int = 4096):
         rows[name] = (per, total / per / 1e6)
 
     epi = rows["full"][0] - rows["riceAB"][0] - rows["extra"][0]
-    print(f"\n=== {kind} (B={batch}, fused={use_fused}, maxord={max_order}, "
-          f"sub={cap}, extra={any_extra}) ===")
+    print(f"\n=== {kind} span {span_label} (B={batch}, fused={use_fused}, "
+          f"maxord={max_order}, sub={cap}, extra={any_extra}, "
+          f"{total / 1e6:.1f} Msamples) ===")
     for name, (per, msps) in rows.items():
         if per:
             print(f"  {name:8s} {per*1e3:8.2f} ms  {msps:8.1f} Msps")
     print(f"  {'epilogue':8s} {epi*1e3:8.2f} ms  "
           f"({epi/rows['full'][0]*100:.0f}% of full)")
-    return rows
+    rows["epilogue"] = (epi, total / max(epi, 1e-9) / 1e6)
+    return rows, total
 
 
 if __name__ == "__main__":

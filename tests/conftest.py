@@ -33,5 +33,17 @@ if not os.environ.get("ALAC_TEST_TPU"):
     # The axon sitecustomize force-sets jax_platforms to "axon,cpu" at
     # interpreter start; override it back for the CPU-mesh test suite.
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache: TPU runs only.  The CPU suite hit two
+# flaky SEGFAULTS inside jaxlib's executable (de)serialization for the
+# large streaming-window kernel (observed 2026-08-20 on
+# test_bulk_bits_streaming_window: one in LoadedExecutable.serialize via
+# put_executable_and_time:265, one in backend.deserialize_executable via
+# get_executable_and_time — NOT a corrupt/truncated entry; every cache
+# file zstd-validates clean, scripts/purge_jax_cache.py).  CPU-backend
+# executable serialization for that kernel is the common factor, so the
+# CPU suite runs cache-less (it only ever saved time on reruns); the TPU
+# cache — different serialization path, stable across rounds — keeps its
+# dir and is never shared with a CPU writer.
+if os.environ.get("ALAC_TEST_TPU"):
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
