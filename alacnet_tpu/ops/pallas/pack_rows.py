@@ -125,16 +125,19 @@ def _words_from_le(w32: jax.Array, tail_be: jax.Array, nq: int) -> jax.Array:
     return out.reshape(nq, QL)
 
 
-def blob_words(blob_u8: np.ndarray, max_w: int = 0) -> jax.Array:
+def blob_words(blob_u8: np.ndarray, max_w: int = 0, put=None) -> jax.Array:
     """Byte blob -> (Nq, 128) big-endian uint32 words on the device.
 
     Big-endian because the bit readers consume the word domain of the
     reference's MSB-first byte stream (AlacFile.cs:101-129 Readbits
     composition).  See ``host_le_words`` for the host/device split and
-    the padding contract.
+    the padding contract.  ``put`` optionally replaces the implicit
+    ``jnp.asarray`` H2D with a caller-instrumented transfer (the bench's
+    measured-relay accounting, bench_lib.overlapped_run).
     """
     w32, tail_be, nq = host_le_words(blob_u8, max_w)
-    return _words_from_le(jnp.asarray(w32), jnp.uint32(tail_be), nq)
+    dev = put(w32) if put is not None else jnp.asarray(w32)
+    return _words_from_le(dev, jnp.uint32(tail_be), nq)
 
 
 def _mask_tail(rows: jax.Array, nbytes: jax.Array) -> jax.Array:
