@@ -65,9 +65,17 @@ class DecodeConfig:
     #: span's lane tile narrows to (4, 128) — the fused kernel's fetch
     #: sweep covers the tile's word-position range every pair, so
     #: size-mixed blocks trade vreg width for a tighter sweep
-    #: (parallel/pipeline.span_sub_hint).  0 disables.
+    #: (parallel/pipeline.span_sub_hint).  Default 0 = OFF since the
+    #: amortized fetch-range bounds (DESIGN.md §4j) cut the sweep's
+    #: reduce cost ~4x and inverted the tradeoff: on the size-continuum
+    #: spans that actually reach the cap, sub=8 whole-table now beats
+    #: the narrow tile (orders corpus 781 -> 902 Msps, mixed e2e device
+    #: stage 1605 -> 1743 Msps, v5e).  The +28% narrow-tile win that
+    #: set the old default of 16 was measured on UNSORTED corpora with
+    #: the pre-amortized kernel; set ALAC_SPREAD_CAP=16 to restore it
+    #: for unsorted single-dispatch callers.
     spread_cap_groups: int = dataclasses.field(
-        default_factory=lambda: _env_int("ALAC_SPREAD_CAP", 16)
+        default_factory=lambda: _env_int("ALAC_SPREAD_CAP", 0)
     )
     #: Per-block coded-size spread (8-word groups, over 2048-lane
     #: windows) at or below which a span is "tight" and plans the

@@ -147,14 +147,15 @@ def span_sub_hint(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
     - MEDIAN block spread >= ``config.spread_cap_groups`` (1024-lane
       blocks) -> hint 4: narrow the tile to (4, 128).  Measured +28% on
       the UNSORTED mixed-orders corpus (496 -> 633 Msps single-channel;
-      sub=2 loses — fixed per-lane cost quadruples).  Median, not
-      worst: the production planner size-sorts lanes, so a span over
-      several size clusters has uniform blocks except at cluster
-      boundaries — narrowing every block for one boundary block
-      measured 27% WORSE end-to-end on the orders corpus (907 -> 665
-      Msps device-stage).  Sorted spans therefore almost never cap;
-      the hint matters for intrinsically mixed blocks (unsorted
-      callers, or a smooth size continuum that sorting can't cluster).
+      sub=2 loses — fixed per-lane cost quadruples) on the
+      pre-amortized kernel.  OFF by default since the amortized
+      fetch-range bounds (DESIGN.md §4j) cut the sweep's per-pair
+      reduce cost ~4x: on the size-continuum spans that actually reach
+      the cap, sub=8 whole-table now wins (orders 781 -> 902 Msps,
+      mixed e2e device stage 1605 -> 1743 Msps, v5e) — a narrow tile
+      doubles the grid's pair-steps for a sweep saving that no longer
+      pays.  ALAC_SPREAD_CAP=16 restores the old behavior for
+      unsorted single-dispatch callers.
     - WORST block spread <= ``config.tight_groups`` (2048-lane windows
       — the sub=16 block size) -> hint 16: stream the word table
       through a (16, 128) tile (the ALAC_STREAM16 band, auto-gated).
