@@ -293,6 +293,7 @@ def _kernel(params_ref, words_hbm, outa_hbm, outb_hbm, state_ref,
     jax.jit,
     static_argnames=(
         "num_samples", "interpret", "whole_table", "sub_hint", "range_mode",
+        "plan_epoch",
     ),
 )
 def bulk_bits(
@@ -306,6 +307,7 @@ def bulk_bits(
     whole_table: bool = False,
     sub_hint: int = 0,
     range_mode: str = "affine",
+    plan_epoch: int = 0,
 ):
     """Extract (A, B) field streams at a fixed per-lane stride.
 
@@ -314,6 +316,11 @@ def bulk_bits(
     spread wider than the window (mixed strides over a fat table —
     rice_lpc.plan_tiles); their outputs are invalid and the caller
     re-runs with ``whole_table=True``.
+
+    ``plan_epoch`` is an inert cache key for callers that mutate the
+    trace-time planning state (WORDS_VMEM_BUDGET) — bump it instead of
+    ``_clear_cache()`` (see rice_lpc.fused_rice_lpc's docstring for
+    why executable destruction is avoided).
 
     CONTRACT: n1 + n2 <= 48 bits per step — the quad-fetch reservoir
     budget (31 + 3*48 + 32 + 32 = 239 < 256 bits; see step()).  Every

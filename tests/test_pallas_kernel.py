@@ -510,21 +510,20 @@ class TestStreamingWindow:
         words, start, n, args, B0, S = batch
         ref, endp = self._xla_ref(words, start, n, args, S)
         monkeypatch.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
-        RL.fused_rice_lpc._clear_cache()
-        try:
-            assert RL.plan_tiles(LANES, self.WIDE // 8, S) == (8, 8)
-            out, end = fused_rice_lpc(
-                words, start, n, *args, S, max_order=4,
-                interpret=jax.default_backend() != "tpu",
-            )
-            np.testing.assert_array_equal(
-                np.asarray(out)[:B0], np.asarray(ref)[:B0]
-            )
-            np.testing.assert_array_equal(
-                np.asarray(end)[:B0], np.asarray(endp)[:B0]
-            )
-        finally:
-            RL.fused_rice_lpc._clear_cache()
+        # plan_epoch (not _clear_cache): the shrunken budget must replan
+        # without destroying the already-compiled default-plan
+        # executables (see fused_rice_lpc's docstring).
+        assert RL.plan_tiles(LANES, self.WIDE // 8, S) == (8, 8)
+        out, end = fused_rice_lpc(
+            words, start, n, *args, S, max_order=4,
+            interpret=jax.default_backend() != "tpu", plan_epoch=1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out)[:B0], np.asarray(ref)[:B0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(end)[:B0], np.asarray(endp)[:B0]
+        )
 
     def test_stall_flag_and_whole_table_fallback(self, batch, monkeypatch):
         """Cross-lane spread wider than the window -> every lane of the
@@ -538,14 +537,11 @@ class TestStreamingWindow:
         interp = jax.default_backend() != "tpu"
         with monkeypatch.context() as m:
             m.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
-            RL.fused_rice_lpc._clear_cache()
-            try:
-                _, end = fused_rice_lpc(
-                    words, start2, n, *args, S, max_order=4, interpret=interp
-                )
-                assert (np.asarray(end)[:B0] == -1).all()
-            finally:
-                RL.fused_rice_lpc._clear_cache()
+            _, end = fused_rice_lpc(
+                words, start2, n, *args, S, max_order=4, interpret=interp,
+                plan_epoch=1,
+            )
+            assert (np.asarray(end)[:B0] == -1).all()
         ref, endp = self._xla_ref(words, start2, n, args, S)
         out, end = fused_rice_lpc(
             words, start2, n, *args, S, max_order=4,
@@ -566,11 +562,15 @@ def test_streaming_sub16_band_parity(rng, monkeypatch, via):
     from alacnet_tpu.ops.pallas.rice_lpc import plan_tiles
 
     hint = 0
+    epoch = 0
     if via == "env":
         monkeypatch.setenv("ALAC_STREAM16", "1")
+        # Distinct plan_epoch: the env flag changes plan_tiles' output
+        # for otherwise-identical static args (hint=16 is already its
+        # own cache key).  No _clear_cache — see fused_rice_lpc.
+        epoch = 2
     else:
         hint = 16
-    fused_rice_lpc._clear_cache()
     S = 64
     WIDE = 2048  # W8=256: in (186, 372] -> (16, 186)
     B = 2048  # minimum for a sub=16 tile
@@ -607,10 +607,10 @@ def test_streaming_sub16_band_parity(rng, monkeypatch, via):
     out, end = fused_rice_lpc(
         words, start, n, *args, S, max_order=4,
         interpret=jax.default_backend() != "tpu", sub_hint=hint,
+        plan_epoch=epoch,
     )
     np.testing.assert_array_equal(np.asarray(out)[:B0], np.asarray(ref)[:B0])
     np.testing.assert_array_equal(np.asarray(end)[:B0], np.asarray(endp)[:B0])
-    fused_rice_lpc._clear_cache()  # env-dependent plan must not leak
 
 
 @pytest.mark.parametrize("range_mode", ["affine", "exact"])
@@ -652,20 +652,19 @@ def test_bulk_bits_streaming_window(rng, monkeypatch, range_mode):
     np.testing.assert_array_equal(np.asarray(b), ref_b.astype(np.int32))
 
     # Stall: tiny window + one lane starting thousands of words ahead.
+    # plan_epoch (not _clear_cache) keys the shrunken-budget plan — see
+    # fused_rice_lpc's docstring for why executables are never
+    # destroyed mid-suite.
     with monkeypatch.context() as mctx:
         mctx.setattr(RL, "WORDS_VMEM_BUDGET", 8 * 8 * 128 * 4 * 8)
-        bulk_bits._clear_cache()
-        try:
-            start2 = np.asarray(start).copy()
-            start2[1] = 32 * (W - 200)
-            _, _, st2 = bulk_bits(
-                words, jnp.asarray(start2), n, jnp.asarray(n1),
-                jnp.asarray(n2), S, interpret=interp,
-                range_mode=range_mode,
-            )
-            assert np.asarray(st2).all()
-        finally:
-            bulk_bits._clear_cache()
+        start2 = np.asarray(start).copy()
+        start2[1] = 32 * (W - 200)
+        _, _, st2 = bulk_bits(
+            words, jnp.asarray(start2), n, jnp.asarray(n1),
+            jnp.asarray(n2), S, interpret=interp,
+            range_mode=range_mode, plan_epoch=1,
+        )
+        assert np.asarray(st2).all()
     # whole-table fallback on the same inputs
     a3, b3, st3 = bulk_bits(
         words, jnp.asarray(start2), n, jnp.asarray(n1), jnp.asarray(n2), S,
