@@ -1044,12 +1044,16 @@ def run_encode_benchmark(
 
     enc_kernel = _enc_kernel(None)  # fused on TPU — the production path
 
+    from .codec.encoder_tpu import _enc_quads
+
     use_pairs = _enc_pairs()  # the production plane layout
+    use_quads = use_pairs and _enc_quads() and bits <= 16
 
     def stages(v):
         return encode_stages_pcm(
             v, stereo, ns, lp, rp, S, max_order=6, lw=1, sh=1,
             wide=bits > 16, kernel=enc_kernel, pairs=use_pairs,
+            quads=use_quads,
         )
 
     jnp.sum(stages(vs[-1])[4]).item()
@@ -1092,6 +1096,7 @@ def run_encode_benchmark(
         pack_classic_s = min(pack_classic_s, time.perf_counter() - t0)
     coded = sum(len(p) for p in payloads)
     pack_s = pack_classic_s
+    quads_fired = False
     if use_pairs:
         # Production pack stage: device-merged pair planes through the
         # native two-frame pair packer; the classic rate rides along as
@@ -1105,6 +1110,9 @@ def run_encode_benchmark(
             pack_s = min(pack_s, time.perf_counter() - t0)
         if pair_payloads != payloads:  # hardware parity gate
             raise RuntimeError("pair pack != classic pack payload bytes")
+        quads_fired = bool(prep.get("quads")) and not bool(
+            np.asarray(planes_p[11]).any()
+        )
 
     # -- device-pack variant (ALAC_ENC_DEVICE_PACK): slope-measure the
     # pack_frames_device kernel on the staged planes and the residual
@@ -1146,6 +1154,7 @@ def run_encode_benchmark(
         "encode_prep_msps": round(prep_msps, 3),
         "encode_pack_msps": round(pack_msps, 3),
         "encode_pack_pairs": use_pairs,
+        "encode_pack_quads": quads_fired,
         "encode_pack_classic_msps": round(Fe * S / pack_classic_s / 1e6, 3),
         # Tunnel-inclusive wall (chunk-plane D2H over the dev relay —
         # an environment artifact, cf. DESIGN.md §4c).

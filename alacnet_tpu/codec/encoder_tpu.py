@@ -295,6 +295,33 @@ def _enc_pairs() -> bool:
     return ok
 
 
+def _enc_quads() -> bool:
+    """Quad-plane packing (ops/encode.merge_quad_chunks): fold adjacent
+    PAIRS into one <=96-bit field so the host packer writes one field
+    per FOUR samples; quad-fat frames (a quad past 96 bits — adjacent
+    escape symbols) are repacked from slice-fetched pair rows
+    (_repack_fat_frames), so output stays byte-identical on every
+    input.
+
+    OFF by default — a measured NEGATIVE result for the host pack
+    stage (v5e bench host, 512x4096 music, same planes): quad 297
+    Msps vs pair 318.  The pair packer's two-field fold (ALAC_PAIR2)
+    already reaches one accumulator push per FOUR samples whenever two
+    pairs fit 64 bits (typical music pairs are ~20-28 bits), and two
+    ~48-bit quads never fit one push — so quads halve the width-plane
+    bookkeeping but forfeit the fold, a net loss.  What quads DO halve
+    is plane D2H (13 B per 4 samples vs per 2) — irrelevant on a
+    directly-attached host (plane D2H is far from binding) but
+    available via ALAC_ENC_QUAD=1 for bandwidth-starved links like the
+    dev relay."""
+    import os
+
+    mode = os.environ.get("ALAC_ENC_QUAD", "0")
+    if mode not in ("auto", "0", "1"):
+        raise ValueError(f"ALAC_ENC_QUAD={mode!r}: expected auto, 0 or 1")
+    return mode == "1"
+
+
 def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
               pairs: bool | None = None):
     """Stage the prepped batch onto the device (async); with a mesh,
@@ -312,6 +339,11 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
     if pairs is None:
         pairs = _enc_pairs() and not _enc_device_pack()
     prep["pairs"] = pairs
+    # Quads ride on the pair path (same packer, halved field count);
+    # the extra-bits plane keeps its own per-SAMPLE count inside the
+    # packer, so batches with an extra plane stay on pairs.
+    quads = pairs and _enc_quads() and prep["extra_plane"] is None
+    prep["quads"] = quads
     if pairs:
         # Non-fitting pairs (fat flag) re-dispatch the classic planes;
         # see _pack_host_pairs.  The closure re-enters this function
@@ -355,13 +387,13 @@ def _dispatch(prep, params: CodecParams, cfg: EncoderConfig, mesh=None,
             max_order=max_order, lw=prep["lw"], sh=prep["sh"],
             ub8=prep["ub8"], wide=prep["wide"],
             kernel=_enc_kernel(mesh.devices.flat[0].platform),
-            pairs=pairs,
+            pairs=pairs, quads=quads,
         )
     return encode_stages_pcm(
         jnp.asarray(prep["pcm"]), jnp.asarray(prep["stereo_f"]),
         jnp.asarray(prep["ns"]), lp, rp, S, max_order=max_order,
         lw=prep["lw"], sh=prep["sh"], ub8=prep["ub8"], wide=prep["wide"],
-        kernel=_enc_kernel(None), pairs=pairs,
+        kernel=_enc_kernel(None), pairs=pairs, quads=quads,
     )
 
 
@@ -484,40 +516,87 @@ def _pack_host_pairs(prep, planes, timings: dict | None):
     unreachable for real content, but the packer's 3-word field cannot
     represent it) re-dispatches the batch on the classic per-sample
     chunk planes and packs those instead: correctness never depends on
-    the fast layout fitting."""
+    the fast layout fitting.
+
+    Under ``prep["quads"]`` the dispatch also returned quad planes
+    (adjacent pairs folded, ops/encode.merge_quad_chunks).  The small
+    per-lane ``qfat`` flag is fetched first; every frame whose quads
+    all fit (<= 96 bits — 16-bit content in practice, minus the odd
+    transient frame with two adjacent ~50-bit pairs) is packed from
+    the quad planes by the SAME native packer with per-frame count
+    ceil(n/2) (one field per FOUR samples); the few fat frames are
+    then repacked from pair-plane rows slice-fetched for just those
+    lanes.  Only the planes actually packed cross D2H."""
     import time as _time
 
     from .. import native
 
     _t0 = _time.perf_counter()
-    ph_d, pm_d, pl_d, pws_d, bits_d, bad_d, fat_d = planes
+    if prep.get("quads"):
+        (ph_d, pm_d, pl_d, pws_d, bits_d, bad_d, fat_d,
+         qh_d, qm_d, ql_d, qws_d, qfat_d) = planes
+    else:
+        ph_d, pm_d, pl_d, pws_d, bits_d, bad_d, fat_d = planes
+        qfat_d = None
     fat = np.asarray(fat_d)
     if bool(fat.any()):
         prep["pairs"] = False
         return _pack_host(prep, prep["_classic_dispatch"](), timings)
+    F = prep["F"]
+    frame_fat = np.zeros(F, bool)
+    use_quads = False
+    if qfat_d is not None:
+        qfat = np.asarray(qfat_d).reshape(-1)  # mesh: (2, F) -> (2F,)
+        frame_fat = qfat[:F] | qfat[F:]
+        # Quad packing pays only when most frames ride it; a majority-
+        # fat batch (24-bit-ish content) just packs pairs wholesale.
+        use_quads = frame_fat.sum() <= F // 2
     # Mesh dispatches return channel-major (2, F, ...) shards; flatten
     # to the packer's (2F, ...) lane layout after the fetch.
-    ph = _fetch_lane_major(ph_d, 2)
-    pm = _fetch_lane_major(pm_d, 2)
-    pl = _fetch_lane_major(pl_d, 2)
-    pws = _fetch_lane_major(pws_d, 2)
+    if use_quads:
+        ph = _fetch_lane_major(qh_d, 2)
+        pm = _fetch_lane_major(qm_d, 2)
+        pl = _fetch_lane_major(ql_d, 2)
+        pws = _fetch_lane_major(qws_d, 2)
+    else:
+        ph = _fetch_lane_major(ph_d, 2)
+        pm = _fetch_lane_major(pm_d, 2)
+        pl = _fetch_lane_major(pl_d, 2)
+        pws = _fetch_lane_major(pws_d, 2)
     bits = _fetch_lane_major(bits_d, 1).astype(np.int64)
     if bool(np.asarray(bad_d).any()):
         raise RuntimeError("encoder state desync: raw < 0")
     _t1 = _time.perf_counter()
-    F = prep["F"]
     total_bits = prep["hbits"] + bits[:F] + bits[F:]
     out_stride = int(total_bits.max()) // 8 + 8 if F else 8
+    # Quad planes reuse the pair packer verbatim: its only use of the
+    # per-frame count is fields = ceil(count/2), so handing it
+    # ceil(n/2) yields ceil(n/4) quad fields (extra plane is None on
+    # the quad path — _dispatch gates on that).  Fat frames' rows
+    # contain a -1 width the packer skips; their bytes are garbage and
+    # are replaced by the subset repack below.
+    ns_eff = (prep["ns_f"] + 1) // 2 if use_quads else prep["ns_f"]
     packed = native.pack_pair_frames_native(
         prep["hv"], prep["hw"], prep["h_off"],
         prep["extra_plane"], prep["extra_w"],
-        ph, pm, pl, pws, prep["ns_f"], prep["stereo_f"].astype(np.uint8),
+        ph, pm, pl, pws, ns_eff, prep["stereo_f"].astype(np.uint8),
         prep["S"], out_stride,
     )
     if packed is None:  # native tier vanished mid-run; classic fallback
         prep["pairs"] = False
         return _pack_host(prep, prep["_classic_dispatch"](), timings)
     out, end_bits = packed
+    if use_quads and frame_fat.any():
+        sub = _repack_fat_frames(
+            prep, frame_fat, (ph_d, pm_d, pl_d, pws_d), out_stride
+        )
+        if sub is None:  # native tier vanished mid-run
+            prep["pairs"] = False
+            return _pack_host(prep, prep["_classic_dispatch"](), timings)
+        out2, end2 = sub
+        idx = np.flatnonzero(frame_fat)
+        out[idx] = out2
+        end_bits[idx] = end2
     payloads = [
         out[f, : -(-int(end_bits[f]) // 8)].tobytes() for f in range(F)
     ]
@@ -530,6 +609,48 @@ def _pack_host_pairs(prep, planes, timings: dict | None):
             timings.get("pack_s", 0.0) + _time.perf_counter() - _t1
         )
     return payloads
+
+
+def _repack_fat_frames(prep, frame_fat, pair_planes, out_stride):
+    """Repack the quad-fat frames from PAIR-plane rows.
+
+    ``pair_planes`` are still device-resident; only the fat frames'
+    lanes (channel A and B rows) are gathered on device and fetched —
+    for the typical <=1% fat fraction this keeps the extra D2H
+    negligible instead of doubling it.  Returns (out2 (K, out_stride)
+    uint8, end2 (K,) int64) for the K fat frames, or None without the
+    native tier."""
+    from .. import native
+
+    F = prep["F"]
+    idx = np.flatnonzero(frame_fat)
+    K = idx.size
+
+    def rows(x):
+        a = x
+        if getattr(a, "ndim", 2) == 3:  # mesh: channel-major (2, F, ...)
+            g = np.asarray(a[:, idx])
+            return np.ascontiguousarray(g).reshape(2 * K, *g.shape[2:])
+        return np.asarray(a[np.concatenate([idx, F + idx])])
+
+    ph, pm, pl, pws = (rows(x) for x in pair_planes)
+    h_off = prep["h_off"]
+    hv_parts = [prep["hv"][h_off[f] : h_off[f + 1]] for f in idx]
+    hw_parts = [prep["hw"][h_off[f] : h_off[f + 1]] for f in idx]
+    h_off2 = np.zeros(K + 1, np.int64)
+    np.cumsum([len(p) for p in hv_parts], out=h_off2[1:])
+    hv2 = (
+        np.concatenate(hv_parts) if K else np.zeros(0, prep["hv"].dtype)
+    )
+    hw2 = (
+        np.concatenate(hw_parts) if K else np.zeros(0, prep["hw"].dtype)
+    )
+    return native.pack_pair_frames_native(
+        hv2, hw2, h_off2, None, None,
+        ph, pm, pl, pws, prep["ns_f"][idx],
+        prep["stereo_f"][idx].astype(np.uint8),
+        prep["S"], out_stride,
+    )
 
 
 def _fetch_lane_major(x, ndim_flat: int) -> np.ndarray:

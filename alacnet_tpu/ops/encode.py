@@ -374,12 +374,41 @@ def merge_pair_chunks(c0, c1, c2, ws):
     return ph, pm, pl, pws, fat
 
 
+def merge_quad_chunks(ph, pm, pl, pws):
+    """Fold ADJACENT PAIRS' <=96-bit fields into one <=96-bit QUAD
+    field — :func:`merge_pair_chunks` applied to its own output, so the
+    host packer writes one field per FOUR samples and its per-field
+    bookkeeping (the encode pipeline's host bottleneck) halves again.
+    The native pair packer consumes the quad planes UNCHANGED — it only
+    derives its field count from the per-frame ``n`` it is handed, so
+    the caller passes ceil(n/2) (codec/encoder_tpu._pack_host_pairs)
+    and everything else is identical.
+
+    A quad FITS when its combined width is <= 96 bits, i.e. the four
+    samples average <= 24 bits — always true for 16-bit content without
+    adjacent escapes, typically false for 24-bit residuals (which stay
+    on the pair path; the caller gates per batch via ``qfat``).  A
+    non-fitting PAIR input (-1 width) also poisons: its batch is
+    already routed to the classic chunk path by the pair-level ``fat``,
+    but the quad fold must not shift by negative amounts, so widths are
+    clamped for the math and the lane is marked fat here too.
+
+    Returns (qh, qm, ql (B, ceil(S/4)) uint32, qws (B, ceil(S/4)) int8,
+    qfat (B,) bool).
+    """
+    bad_pair = jnp.any(pws < 0, axis=1)
+    wsc = jnp.maximum(pws, 0).astype(jnp.int8)
+    qh, qm, ql, qws, qfat = merge_pair_chunks(ph, pm, pl, wsc)
+    return qh, qm, ql, qws, qfat | bad_pair
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "max_order", "kernel", "pairs")
+    jax.jit,
+    static_argnames=("num_samples", "max_order", "kernel", "pairs", "quads"),
 )
 def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
                   max_order: int = MAX_ORDER, kernel: str = "xla",
-                  pairs: bool = False):
+                  pairs: bool = False, quads: bool = False):
     """One-dispatch device encode: residuals -> zero-run lookahead ->
     rice symbols -> merged chunk planes.
 
@@ -401,6 +430,13 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     :func:`merge_pair_chunks` and return
     (ph, pm, pl (B, ceil(S/2)) uint32, pws (B, ceil(S/2)) int8, bits,
     bad, fat (B,) bool) — the native pair packer's input layout.
+
+    ``quads`` (requires ``pairs``): ALSO fold adjacent pairs via
+    :func:`merge_quad_chunks`, appending (qh, qm, ql, qws
+    (B, ceil(S/4)), qfat (B,)) to the pair tuple.  Both plane sets come
+    back as lazy device arrays; the host fetches the flags first and
+    transfers only the set it will pack (codec/encoder_tpu), so the
+    extra fold costs elementwise FLOPs but no extra D2H.
     """
     if kernel != "xla":
         from .pallas.enc_stages import encode_stages_fused
@@ -417,7 +453,11 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
         bits = jnp.sum(ws.astype(I32), axis=1)
     if pairs:
         ph, pm, pl, pws, fat = merge_pair_chunks(c0, c1, c2, ws)
+        if quads:
+            qh, qm, ql, qws, qfat = merge_quad_chunks(ph, pm, pl, pws)
+            return ph, pm, pl, pws, bits, bad, fat, qh, qm, ql, qws, qfat
         return ph, pm, pl, pws, bits, bad, fat
+    assert not quads, "quads requires pairs"
     return c0, c1, c2, ws, bits, bad
 
 
@@ -425,13 +465,14 @@ def encode_stages(sig, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     jax.jit,
     static_argnames=(
         "num_samples", "max_order", "lw", "sh", "ub8", "wide", "kernel",
-        "pairs",
+        "pairs", "quads",
     ),
 )
 def encode_stages_pcm(
     pcm, stereo, n, lp: LpcParams, rp: RiceEncParams, num_samples: int,
     max_order: int = MAX_ORDER, lw: int = 0, sh: int = 0, ub8: int = 0,
     wide: bool = False, kernel: str = "xla", pairs: bool = False,
+    quads: bool = False,
 ):
     """:func:`encode_stages` fed raw interleaved PCM.
 
@@ -479,7 +520,7 @@ def encode_stages_pcm(
     )
     return encode_stages(
         sig, n, lp, rp, num_samples, max_order=max_order, kernel=kernel,
-        pairs=pairs,
+        pairs=pairs, quads=quads,
     )
 
 # ---------------------------------------------------------------------------

@@ -183,7 +183,7 @@ def decode_frames_sharded(fb, mesh: Mesh, num_samples: int):
 def encode_stages_pcm_spmd(
     pcm, stereo, n, lp, rp, mesh: Mesh, num_samples: int,
     max_order: int, lw: int, sh: int, ub8: int, wide: bool,
-    kernel: str = "xla", pairs: bool = False,
+    kernel: str = "xla", pairs: bool = False, quads: bool = False,
 ):
     """ops/encode.encode_stages_pcm over a frame-sharded mesh — the
     encode mirror of :func:`decode_frames_spmd` (DP over frames, zero
@@ -200,7 +200,8 @@ def encode_stages_pcm_spmd(
     ``pcm`` (F, S, 2) int32, ``n``/``lp``/``rp`` in the flat (2F,) lane
     layout.  Returns (c0, c1, c2, ws, bits, bad) each (2, F, ...), or
     the 7-tuple pair-plane layout under ``pairs`` (the fold is
-    elementwise, so it shards with the frames for free).
+    elementwise, so it shards with the frames for free), or the
+    12-tuple pair+quad layout under ``quads`` (ops/encode.encode_stages).
     """
     from ..ops.encode import RiceEncParams, encode_stages_pcm
     from ..ops.lpc import LpcParams
@@ -235,15 +236,16 @@ def encode_stages_pcm_spmd(
             LpcParams(*(flat(x) for x in lp_l)),
             RiceEncParams(*(flat(x) for x in rp_l)),
             num_samples, max_order=max_order, lw=lw, sh=sh, ub8=ub8,
-            wide=wide, kernel=kernel, pairs=pairs,
+            wide=wide, kernel=kernel, pairs=pairs, quads=quads,
         )
         return tuple(two(x) for x in out)
 
     cspec = P(None, FRAME_AXIS)
+    n_out = 12 if (pairs and quads) else 7 if pairs else 6
     return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(FRAME_AXIS), P(FRAME_AXIS), cspec, cspec, cspec),
-        out_specs=(cspec,) * (7 if pairs else 6),
+        out_specs=(cspec,) * n_out,
         check_vma=False,
     )(pcm_d, st_d, n2, lp2, rp2)

@@ -171,10 +171,92 @@ def test_fat_batch_falls_back_to_classic(rng):
     planes = _dispatch(prep, params, cfg, pairs=True)
     assert prep["pairs"] is True
     forced = list(planes)
-    forced[-1] = np.ones_like(np.asarray(planes[-1]))  # force fat
+    # The PAIR-level fat flag sits at index 6 (the 12-tuple quad layout
+    # appends qh/qm/ql/qws/qfat after it; index -1 is qfat there).
+    fat_idx = 6 if prep.get("quads") else -1
+    forced[fat_idx] = np.ones_like(np.asarray(planes[fat_idx]))  # force fat
     got = _pack_host_pairs(prep, tuple(forced), None)
     assert got == want
     assert prep["pairs"] is False  # fallback resets the routing flag
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_quad_pack_fires_and_matches(rng, monkeypatch):
+    """16-bit music-like content must take the QUAD plane path (every
+    quad <= 96 bits) and stay byte-identical to both the pair-only and
+    classic layouts; a forced qfat falls back to pairs (not classic)."""
+    from alacnet_tpu.codec.encoder_tpu import (
+        _dispatch, _pack_host_pairs, _prep,
+    )
+
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=6)
+    pcm = tone(S * 3 + 57, 2, 16, noise=60.0)
+    frames = [pcm[i : i + S] for i in range(0, pcm.shape[0], S)]
+    monkeypatch.setenv("ALAC_ENC_QUAD", "0")
+    pair_only = encode_frames_tpu(frames, params, cfg)
+    monkeypatch.setenv("ALAC_ENC_QUAD", "1")
+    quaded = encode_frames_tpu(frames, params, cfg)
+    assert quaded == pair_only
+    # The quad path must actually have been eligible (qfat clean).
+    enc = AlacEncoder(params, cfg)
+    prep = _prep(frames, params, cfg, enc)
+    planes = _dispatch(prep, params, cfg, pairs=True)
+    assert prep.get("quads") is True
+    assert not bool(np.asarray(planes[11]).any()), "quads unexpectedly fat"
+    # Forced qfat: falls back to the PAIR planes, still byte-identical,
+    # and does NOT reset the pairs routing (no classic re-dispatch).
+    forced = list(planes)
+    forced[11] = np.ones_like(np.asarray(planes[11]))
+    got = _pack_host_pairs(prep, tuple(forced), None)
+    assert got == pair_only
+    assert prep["pairs"] is True
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_quad_fat_frame_subset_repack(rng, monkeypatch):
+    """A minority quad-fat frame (full-range noise: adjacent escape
+    symbols push a quad past 96 bits) must be repacked from the pair
+    planes while the rest of the batch rides the quad path — byte
+    identity against the host encoder throughout."""
+    from alacnet_tpu.bench_lib import _music_pcm
+    from alacnet_tpu.codec.encoder_tpu import _dispatch, _prep
+
+    monkeypatch.setenv("ALAC_ENC_QUAD", "1")
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=6)
+    mus = _music_pcm(7 * S, 16, 2, rng).reshape(7, S, 2)
+    noise = rng.integers(-32768, 32767, (S, 2)).astype(np.int32)
+    frames = [mus[i] for i in range(7)] + [noise]
+    enc = AlacEncoder(params, cfg)
+    prep = _prep(frames, params, cfg, enc)
+    planes = _dispatch(prep, params, cfg, pairs=True)
+    assert prep.get("quads") is True
+    assert not bool(np.asarray(planes[6]).any()), "pair-fat would mask the case"
+    qfat = np.asarray(planes[11]).reshape(-1)
+    ff = qfat[:8] | qfat[8:]
+    assert ff.any() and not ff.all(), "need a minority-fat batch"
+    want = [enc.encode_frame(f) for f in frames]
+    got = encode_frames_tpu(frames, params, cfg)
+    assert got == want
+
+
+def test_merge_quad_chunks_poisons_bad_pairs(rng):
+    """-1 pair widths (non-fitting pairs) must mark the lane quad-fat
+    and never feed negative shift amounts into the fold."""
+    from alacnet_tpu.ops.encode import merge_quad_chunks
+
+    B, NP = 4, 8
+    ph = np.zeros((B, NP), np.uint32)
+    pm = np.zeros((B, NP), np.uint32)
+    pl = rng.integers(0, 2**20, (B, NP)).astype(np.uint32)
+    pws = np.full((B, NP), 20, np.int8)
+    pws[1, 3] = -1  # poisoned pair
+    qh, qm, ql, qws, qfat = (
+        np.asarray(x) for x in merge_quad_chunks(ph, pm, pl, pws)
+    )
+    assert bool(qfat[1]) and not qfat[[0, 2, 3]].any()
+    assert (qws[0] == 40).all()  # clean lanes fold two 20-bit pairs
 
 
 @pytest.mark.skipif(not native.available(), reason="no native tier")
