@@ -272,7 +272,29 @@ class TestMalformedInputTermination:
         # read (AlacContext.cs:182-193); we park at EOF.
         import signal
 
+        from alacnet_tpu.codec.cookie import default_cookie
+        from alacnet_tpu.codec.encoder import AlacEncoder
+        from alacnet_tpu.container.mux import write_m4a
+
         data = self._undercovered()
+
+        # Warm the decode executable OUTSIDE the watchdog window: a
+        # well-formed twin of the same shape compiles the same jit
+        # cache entries, so the alarm below times only the read loop's
+        # termination — a fresh XLA compile under 4-way xdist
+        # contention was measured blowing a 30 s budget on this 1-core
+        # box (false positive; the loop itself terminates in ms).
+        params = default_cookie(44100, 16, 2, max_samples_per_frame=256)
+        enc = AlacEncoder(params, EncoderConfig(order=4))
+        pcm = tone(256 * 4, 2, 16)
+        wbuf = io.BytesIO()
+        write_m4a(
+            wbuf, params,
+            [enc.encode_frame(pcm[i * 256 : (i + 1) * 256]) for i in range(4)],
+            [256] * 4,
+        )
+        with AlacContext(io.BytesIO(wbuf.getvalue())) as warm:
+            warm.read_all()
 
         def _boom(*a):  # pragma: no cover - only fires on regression
             raise TimeoutError("read_all did not terminate")
