@@ -698,9 +698,16 @@ void alac_pack_chunk_frames(
 // are packed per loop iteration with independent writers so their
 // accumulator dependency chains overlap (measured ~2x over the
 // single-writer per-sample chunk loop on the 1-core bench host; see
-// DESIGN.md §7).  Precondition: pws values are in [0, 96] — batches
-// with a non-fitting pair (pws = -1, `fat` flag) must take the classic
-// chunk path instead (codec/encoder_tpu._pack enforces this).
+// DESIGN.md §7).  Precondition: pws values are in [-1, 96].  -1 is a
+// LEGAL no-op width: the field is skipped and emits ZERO bits — the
+// quad caller (codec/encoder_tpu, ALAC_ENC_QUAD) intentionally hands
+// planes where quad-FAT frames' lanes carry -1 widths (their rows
+// come out garbage and are repacked from pair rows afterwards), so
+// the `bits_ > 0` / `(b0_|b1_) >= 0` guards in ALAC_PAIR1/ALAC_PAIR2
+// below are load-bearing for it, not just defensive.  What callers must never pass
+// is a WIDE field (> 96 bits): merge_pair_chunks marks such pairs -1
+// and sets the batch's `fat` flag, and codec/encoder_tpu._pack routes
+// fat batches to the classic chunk path instead.
 // ---------------------------------------------------------------------------
 
 namespace {

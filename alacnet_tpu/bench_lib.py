@@ -66,12 +66,15 @@ def relay_reachable() -> bool:
         return True  # inconclusive — let jax try
 
 
-#: True when the device sits behind the axon dev relay (single serialized
-#: tunnel, ~25 ms dispatch round trips — DESIGN.md §4c).  Gates the
-#: blocking/timed H2D measurement and the relay corrections in
-#: :func:`run_e2e_benchmark`; on a directly-attached backend the
-#: overlapped wall is used raw.
-_RELAY = bool(os.environ.get("AXON_LOOPBACK_RELAY"))
+def _relay() -> bool:
+    """True when the device sits behind the axon dev relay (single
+    serialized tunnel, ~25 ms dispatch round trips — DESIGN.md §4c).
+    Gates the blocking/timed H2D measurement and the relay corrections
+    in :func:`run_e2e_benchmark`; on a directly-attached backend the
+    overlapped wall is used raw.  Read at CALL time, not import time
+    (ADVICE r4): a driver that imports this module before exporting
+    AXON_LOOPBACK_RELAY must still get the timed/blocking put path."""
+    return bool(os.environ.get("AXON_LOOPBACK_RELAY"))
 
 CORPUS_KINDS = ("music", "spiky", "silence", "orders", "hires24", "fat24")
 
@@ -545,6 +548,7 @@ def run_e2e_benchmark(
 
     pool, params = _mixed_pool(frame_samples, bits, seed=seed)
     rng = np.random.default_rng(seed)
+    relay = _relay()
     from .config import DEFAULT
 
     # Mirrors decode_blob's gate: with device_pack on, the word-row
@@ -764,7 +768,7 @@ def run_e2e_benchmark(
             # wall then needs no correction at all).
             nonlocal h2d_bytes, h2d_s
             xa = np.asarray(x)
-            if not _RELAY:
+            if not relay:
                 h2d_bytes += xa.nbytes
                 return jax.device_put(xa)
             t = time.perf_counter()
@@ -841,7 +845,7 @@ def run_e2e_benchmark(
         (overlapped_run(*build(20 + r)) for r in range(3)),
         key=lambda x: x[1] - x[4],
     )
-    rtt_unit = _relay_rtt() if _RELAY else 0.0
+    rtt_unit = _relay_rtt() if relay else 0.0
     # Relay correction (relay only; on a directly-attached backend the
     # puts were async+untimed and the wall is used raw, corr = 0).  The
     # H2D seconds are MEASURED inside the run itself (overlapped_run's
@@ -857,7 +861,7 @@ def run_e2e_benchmark(
     # h2d_s may contain device-busy seconds; the device provably spent
     # >= device_s busy during the run, so the correction is capped at
     # wall - device_s — device-compute time is never subtracted.
-    corr_raw = (ov_h2d_s + rtt_unit) if _RELAY else 0.0
+    corr_raw = (ov_h2d_s + rtt_unit) if relay else 0.0
     corr_cap = max(0.0, ov_wall - device_s)
     corr = min(corr_raw, corr_cap)
     # When the raw correction exceeds the cap, the relay swamps the
@@ -903,7 +907,13 @@ def run_e2e_benchmark(
         "e2e_vs_baseline": round(published / NORTH_STAR_MSAMPLES, 4),
         "e2e_realtime_x": round(published * 1e6 / 44100.0, 1),
         "e2e_stage_bound_msps": round(bound_msps, 3),
-        "e2e_measured_overlap_msps": round(ov_msps, 3),
+        # Null when the relay swamps the wall (ADVICE r4): the corrected
+        # seconds are then floored at the stage bound, so the "measured"
+        # rate would just echo the bound — never publish a bound-clamped
+        # value under a measured label.
+        "e2e_measured_overlap_msps": (
+            round(ov_msps, 3) if ov_resolved else None
+        ),
         "overlap_efficiency": (
             round(efficiency, 4) if efficiency is not None else None
         ),

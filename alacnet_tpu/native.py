@@ -376,8 +376,15 @@ def pack_pair_frames_native(
     (ops/encode.merge_pair_chunks: one <=96-bit field per two samples),
     or None when the native tier is unavailable.
 
-    Precondition: every pws value is in [0, 96] — the caller must route
-    batches whose ``fat`` flag is set to the classic chunk path.
+    Precondition: every pws value is in [-1, 96].  A pws of -1 is a
+    LEGAL no-op — the field is skipped and contributes zero bits; the
+    quad path (codec/encoder_tpu, ALAC_ENC_QUAD) depends on this: it
+    intentionally passes planes where quad-fat frames' lanes carry -1
+    widths (those rows come out garbage and are repacked from pair
+    rows, _repack_fat_frames).  Values in (96, 127] are what the
+    caller must never pass:
+    batches whose ``fat`` flag is set (a pair that does not fit 96
+    bits) must route to the classic chunk path instead.
     ``num_samples`` is the per-frame sample capacity S (the extra-bits
     plane stays per-sample, (F, S)); the pair planes are (2F, ceil(S/2)).
     Returns (out (F, out_stride) uint8, end_bits (F,) int64).
