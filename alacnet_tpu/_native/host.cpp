@@ -918,3 +918,353 @@ void alac_pack_pair_frames4(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Eight-frame AVX-512 pair packer (round 5).  The scalar packers above
+// are ACCUMULATOR-CHAIN bound: every pair field passes through one
+// serial 128-bit shift-or chain per frame, and interleaving 2 (win) or
+// 4 (loss, §7e) chains is the only parallelism a scalar core offers.
+// AVX-512 changes the game: VBMI2's per-lane funnel shifts (VPSHLDVQ /
+// VPSHRDVQ) run EIGHT independent 128-bit writer accumulators in two
+// ZMM registers, so eight equal-shape frames advance in lockstep —
+// loads vectorize via an 8x8 u32 transpose of the pair planes, pushes
+// are one funnel + shift + OR, and the 64-bit flush scatters eight
+// big-endian words to the frames' rows (VPSCATTERQQ) behind a mask of
+// lanes whose pending count crossed 64.
+//
+// Byte-identical to alac_pack_pair_frames on every input: the flush
+// emits exactly the scalar writer's bits [nbits-64, nbits) window, a
+// -1 width is the same legal skip (masked to a zero-width push), and
+// >64-bit fields take a two-push column (ph then pm:pl), so there is
+// no semantic fork — groups that cannot lockstep (mixed n/stereo,
+// tail < 8) fall back to the scalar frame-at-a-time path.
+// Selected via ALAC_ENC_PAIR_ILV=8; compiled only where AVX-512
+// F+BW+VBMI2 exist (the function always exists and delegates to the
+// two-frame packer elsewhere, so callers never need a CPU probe).
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI2__)
+#define ALAC_AVX512_PACK 1
+#include <immintrin.h>
+
+namespace {
+
+// (hi:lo) <<= w per lane, then OR v into the low bits; w in [0, 64].
+// VPSHLDVQ shifts mod 64, so the w == 64 case (where the new high half
+// is exactly the old lo) is blended explicitly.
+static inline void simd_push(__m512i& hi, __m512i& lo, __m512i& nb,
+                             __m512i v, __m512i w) {
+  const __m512i c64 = _mm512_set1_epi64(64);
+  const __m512i hi_s = _mm512_shldv_epi64(hi, lo, w);
+  const __mmask8 is64 = _mm512_cmpeq_epi64_mask(w, c64);
+  hi = _mm512_mask_blend_epi64(is64, hi_s, lo);
+  lo = _mm512_or_si512(_mm512_sllv_epi64(lo, w), v);
+  nb = _mm512_add_epi64(nb, w);
+}
+
+// Flush lanes whose pending count reached 64: emit the scalar writer's
+// exact window (hi:lo) >> (nb-64) as a big-endian qword at each lane's
+// cursor.  hi/lo keep their bits — anything at or above the live count
+// is dead by construction (never enters a later window).
+static inline void simd_flush(uint8_t* out, __m512i& hi, __m512i& lo,
+                              __m512i& nb, __m512i& addr,
+                              const __m512i bswap64) {
+  const __m512i c64 = _mm512_set1_epi64(64);
+  const __mmask8 m = _mm512_cmp_epi64_mask(nb, c64, _MM_CMPINT_NLT);
+  if (!m) return;
+  const __m512i sh = _mm512_sub_epi64(nb, c64);  // [0, 63] where m
+  __m512i word = _mm512_shrdv_epi64(lo, hi, sh);
+  word = _mm512_shuffle_epi8(word, bswap64);
+  _mm512_mask_i64scatter_epi64(out, m, addr, word, 1);
+  addr = _mm512_mask_add_epi64(addr, m, addr, _mm512_set1_epi64(8));
+  nb = _mm512_mask_sub_epi64(nb, m, nb, c64);
+}
+
+// 16x16 u32 butterfly transpose.  Fed the 8 lanes' pl rows at even
+// inputs and pm rows at odd ones, each OUTPUT register is directly the
+// column's 8x u64 value vector ((pm << 32) | pl per lane, little-
+// endian u32 pairing) — 4 shuffles per column and no per-column
+// widen/shift/or at all.
+static inline void tr16x16_u32(const __m512i in[16], __m512i out[16]) {
+  __m512i a[16], b[16];
+  for (int i = 0; i < 8; ++i) {
+    a[2 * i] = _mm512_unpacklo_epi32(in[2 * i], in[2 * i + 1]);
+    a[2 * i + 1] = _mm512_unpackhi_epi32(in[2 * i], in[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    b[4 * i] = _mm512_unpacklo_epi64(a[4 * i], a[4 * i + 2]);
+    b[4 * i + 1] = _mm512_unpackhi_epi64(a[4 * i], a[4 * i + 2]);
+    b[4 * i + 2] = _mm512_unpacklo_epi64(a[4 * i + 1], a[4 * i + 3]);
+    b[4 * i + 3] = _mm512_unpackhi_epi64(a[4 * i + 1], a[4 * i + 3]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    a[i] = _mm512_shuffle_i32x4(b[i], b[i + 4], 0x88);
+    a[i + 4] = _mm512_shuffle_i32x4(b[i], b[i + 4], 0xDD);
+    a[i + 8] = _mm512_shuffle_i32x4(b[i + 8], b[i + 12], 0x88);
+    a[i + 12] = _mm512_shuffle_i32x4(b[i + 8], b[i + 12], 0xDD);
+  }
+  for (int i = 0; i < 8; ++i) {
+    out[i] = _mm512_shuffle_i32x4(a[i], a[i + 8], 0x88);
+    out[i + 8] = _mm512_shuffle_i32x4(a[i], a[i + 8], 0xDD);
+  }
+}
+
+// One pair column across 8 lanes: v = (pm:pl) 64-bit values, w raw
+// widths (may be -1 = skip, or > 64 = wide, taking the two-push form
+// with the ph column supplied by the caller).
+static inline void simd_column(uint8_t* out, __m512i& hi, __m512i& lo,
+                               __m512i& nb, __m512i& addr,
+                               const __m512i bswap64, __m512i v,
+                               __m512i w, int maxw,
+                               const uint32_t* const* ph_rows, int64_t j) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i c64 = _mm512_set1_epi64(64);
+  if (__builtin_expect(maxw > 64, 0)) {
+    alignas(32) uint32_t pht[8];
+    for (int l = 0; l < 8; ++l) pht[l] = ph_rows[l][j];
+    const __m512i w1 = _mm512_max_epi64(_mm512_sub_epi64(w, c64), zero);
+    __m512i v1 = _mm512_cvtepu32_epi64(
+        _mm256_load_si256((const __m256i*)pht));
+    v1 = _mm512_maskz_mov_epi64(_mm512_cmpgt_epi64_mask(w1, zero), v1);
+    simd_push(hi, lo, nb, v1, w1);
+    simd_flush(out, hi, lo, nb, addr, bswap64);
+    w = _mm512_min_epi64(_mm512_max_epi64(w, zero), c64);
+  } else {
+    const __mmask8 kz = _mm512_cmpgt_epi64_mask(w, zero);
+    v = _mm512_maskz_mov_epi64(kz, v);
+    w = _mm512_max_epi64(w, zero);
+  }
+  simd_push(hi, lo, nb, v, w);
+  simd_flush(out, hi, lo, nb, addr, bswap64);
+}
+
+// 16x8 int8 transpose (widths): out[k] = {rows[0][j0+k], ...,
+// rows[7][j0+k]}.  Done per 16-column block so the column loop loads
+// each 8-lane width vector with ONE 8-byte load — the per-column
+// scalar gather/stack form costs a blocked-store-forward stall every
+// column (8 byte stores immediately reloaded as one qword).
+static inline void byte_tr16x8(const int8_t* const* rows, int64_t j0,
+                               int8_t out16x8[16][8], bool* anywide) {
+  __m128i r[8];
+  __m128i wide = _mm_setzero_si128();
+  const __m128i c64 = _mm_set1_epi8(64);
+  for (int l = 0; l < 8; ++l) {
+    r[l] = _mm_loadu_si128((const __m128i*)(rows[l] + j0));
+    wide = _mm_or_si128(wide, _mm_cmpgt_epi8(r[l], c64));
+  }
+  *anywide = _mm_movemask_epi8(wide) != 0;
+  const __m128i a0 = _mm_unpacklo_epi8(r[0], r[1]);
+  const __m128i a1 = _mm_unpackhi_epi8(r[0], r[1]);
+  const __m128i a2 = _mm_unpacklo_epi8(r[2], r[3]);
+  const __m128i a3 = _mm_unpackhi_epi8(r[2], r[3]);
+  const __m128i a4 = _mm_unpacklo_epi8(r[4], r[5]);
+  const __m128i a5 = _mm_unpackhi_epi8(r[4], r[5]);
+  const __m128i a6 = _mm_unpacklo_epi8(r[6], r[7]);
+  const __m128i a7 = _mm_unpackhi_epi8(r[6], r[7]);
+  const __m128i b0 = _mm_unpacklo_epi16(a0, a2);
+  const __m128i b1 = _mm_unpackhi_epi16(a0, a2);
+  const __m128i b2 = _mm_unpacklo_epi16(a1, a3);
+  const __m128i b3 = _mm_unpackhi_epi16(a1, a3);
+  const __m128i b4 = _mm_unpacklo_epi16(a4, a6);
+  const __m128i b5 = _mm_unpackhi_epi16(a4, a6);
+  const __m128i b6 = _mm_unpacklo_epi16(a5, a7);
+  const __m128i b7 = _mm_unpackhi_epi16(a5, a7);
+  _mm_store_si128((__m128i*)out16x8[0], _mm_unpacklo_epi32(b0, b4));
+  _mm_store_si128((__m128i*)out16x8[2], _mm_unpackhi_epi32(b0, b4));
+  _mm_store_si128((__m128i*)out16x8[4], _mm_unpacklo_epi32(b1, b5));
+  _mm_store_si128((__m128i*)out16x8[6], _mm_unpackhi_epi32(b1, b5));
+  _mm_store_si128((__m128i*)out16x8[8], _mm_unpacklo_epi32(b2, b6));
+  _mm_store_si128((__m128i*)out16x8[10], _mm_unpackhi_epi32(b2, b6));
+  _mm_store_si128((__m128i*)out16x8[12], _mm_unpacklo_epi32(b3, b7));
+  _mm_store_si128((__m128i*)out16x8[14], _mm_unpackhi_epi32(b3, b7));
+}
+
+}  // namespace
+#endif  // ALAC_AVX512_PACK
+
+extern "C" {
+
+// 8 when this binary carries the AVX-512 eight-frame pair packer, else
+// 2 (alac_pack_pair_frames8 then delegates to the two-frame kernel).
+int64_t alac_pack_simd_width() {
+#ifdef ALAC_AVX512_PACK
+  return 8;
+#else
+  return 2;
+#endif
+}
+
+void alac_pack_pair_frames8(
+    const uint32_t* hv, const uint8_t* hw, const int64_t* h_off,
+    const uint32_t* extra, const uint8_t* extra_w,
+    const uint32_t* ph, const uint32_t* pm, const uint32_t* pl,
+    const int8_t* pws, const int32_t* n, const uint8_t* stereo,
+    int64_t F, int64_t S, int64_t NP,
+    uint8_t* out, int64_t out_stride, int64_t* end_bits) {
+#ifndef ALAC_AVX512_PACK
+  alac_pack_pair_frames(hv, hw, h_off, extra, extra_w, ph, pm, pl, pws,
+                        n, stereo, F, S, NP, out, out_stride, end_bits);
+#else
+  const __m512i bswap64 = _mm512_broadcast_i32x4(
+      _mm_setr_epi8(7, 6, 5, 4, 3, 2, 1, 0, 15, 14, 13, 12, 11, 10, 9, 8));
+  const int64_t groups = (F + 7) / 8;
+#pragma omp parallel for schedule(dynamic, 2)
+  for (int64_t gp = 0; gp < groups; ++gp) {
+    const int64_t f0 = 8 * gp;
+    bool lock = f0 + 7 < F;
+    for (int64_t t = 1; t < 8 && lock; ++t)
+      lock = n[f0 + t] == n[f0] && stereo[f0 + t] == stereo[f0];
+    if (lock) {
+      // Scalar ragged prefix per lane (headers + optional extra-bits
+      // plane), then hand each writer's exact state — 128-bit pending
+      // accumulator, pending count, byte cursor — to the SIMD lanes.
+      alignas(64) uint64_t hi8[8], lo8[8];
+      alignas(64) int64_t nb8[8], ad8[8];
+      for (int t = 0; t < 8; ++t) {
+        const int64_t ff = f0 + t;
+        FastBitWriter w(out + ff * out_stride);
+        const int eb = extra_w != nullptr ? extra_w[ff] : 0;
+        pair_prefix(w, hv, hw, h_off[ff], h_off[ff + 1],
+                    extra != nullptr ? extra + ff * S : nullptr, eb, n[ff]);
+        hi8[t] = uint64_t(w.acc >> 64);
+        lo8[t] = uint64_t(w.acc);
+        nb8[t] = w.nbits;
+        ad8[t] = ff * out_stride + w.bytepos;
+      }
+      __m512i hi = _mm512_load_si512(hi8);
+      __m512i lo = _mm512_load_si512(lo8);
+      __m512i nb = _mm512_load_si512(nb8);
+      __m512i addr = _mm512_load_si512(ad8);
+      const int64_t np = (n[f0] + 1) / 2;
+      const int64_t nch = stereo[f0] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const uint32_t* phr[8];
+        const uint32_t* pmr[8];
+        const uint32_t* plr[8];
+        const int8_t* pwr[8];
+        for (int l = 0; l < 8; ++l) {
+          const int64_t base = (f0 + l + c * F) * NP;
+          phr[l] = ph + base;
+          pmr[l] = pm + base;
+          plr[l] = pl + base;
+          pwr[l] = pws + base;
+        }
+        int64_t j0 = 0;
+        __m512i vin[16], vcols[16];
+        alignas(16) int8_t wbuf[16][8];
+        const __m512i zero = _mm512_setzero_si512();
+        const __m512i c64v = _mm512_set1_epi64(64);
+        for (; j0 + 16 <= np; j0 += 16) {
+          for (int l = 0; l < 8; ++l) {
+            vin[2 * l] = _mm512_loadu_si512(
+                (const void*)(plr[l] + j0));
+            vin[2 * l + 1] = _mm512_loadu_si512(
+                (const void*)(pmr[l] + j0));
+          }
+          tr16x16_u32(vin, vcols);
+          bool anywide;
+          byte_tr16x8(pwr, j0, wbuf, &anywide);
+          if (__builtin_expect(anywide, 0)) {
+            // Rare escape-dense block: per-column wide-capable form.
+            for (int k = 0; k < 16; ++k) {
+              int maxw = -1;
+              for (int l = 0; l < 8; ++l)
+                if (wbuf[k][l] > maxw) maxw = wbuf[k][l];
+              const __m512i w = _mm512_cvtepi8_epi64(
+                  _mm_loadl_epi64((const __m128i*)wbuf[k]));
+              simd_column(out, hi, lo, nb, addr, bswap64, vcols[k], w,
+                          maxw, phr, j0 + k);
+            }
+            continue;
+          }
+          for (int k = 0; k < 16; k += 2) {
+            // Column pair: the SIMD analog of ALAC_PAIR2 — when every
+            // lane's two pair fields fit 64 bits together, fold them
+            // into ONE push (halves the flush checks on the serial
+            // accumulator state; typical music pairs are ~20-28 bits).
+            __m512i w0 = _mm512_cvtepi8_epi64(
+                _mm_loadl_epi64((const __m128i*)wbuf[k]));
+            __m512i w1 = _mm512_cvtepi8_epi64(
+                _mm_loadl_epi64((const __m128i*)wbuf[k + 1]));
+            __m512i v0 = _mm512_maskz_mov_epi64(
+                _mm512_cmpgt_epi64_mask(w0, zero), vcols[k]);
+            __m512i v1 = _mm512_maskz_mov_epi64(
+                _mm512_cmpgt_epi64_mask(w1, zero), vcols[k + 1]);
+            w0 = _mm512_max_epi64(w0, zero);
+            w1 = _mm512_max_epi64(w1, zero);
+            const __m512i ws = _mm512_add_epi64(w0, w1);
+            if (__builtin_expect(
+                    _mm512_cmp_epi64_mask(ws, c64v, _MM_CMPINT_LE) == 0xFF,
+                    1)) {
+              // w1 == 64 forces w0 == 0 (sum <= 64), so the fold's
+              // sllv-by-64 -> 0 plus OR v1 is exact there too.
+              const __m512i v = _mm512_or_si512(
+                  _mm512_sllv_epi64(v0, w1), v1);
+              simd_push(hi, lo, nb, v, ws);
+              simd_flush(out, hi, lo, nb, addr, bswap64);
+            } else {
+              simd_push(hi, lo, nb, v0, w0);
+              simd_flush(out, hi, lo, nb, addr, bswap64);
+              simd_push(hi, lo, nb, v1, w1);
+              simd_flush(out, hi, lo, nb, addr, bswap64);
+            }
+          }
+        }
+        for (; j0 < np; ++j0) {  // tail columns: strided scalar loads
+          alignas(16) int8_t wt[8];
+          alignas(32) uint32_t pmt[8], plt[8];
+          int maxw = -1;
+          for (int l = 0; l < 8; ++l) {
+            wt[l] = pwr[l][j0];
+            pmt[l] = pmr[l][j0];
+            plt[l] = plr[l][j0];
+            if (wt[l] > maxw) maxw = wt[l];
+          }
+          const __m512i w = _mm512_cvtepi8_epi64(
+              _mm_loadl_epi64((const __m128i*)wt));
+          const __m512i v = _mm512_or_si512(
+              _mm512_slli_epi64(
+                  _mm512_cvtepu32_epi64(_mm256_load_si256((__m256i*)pmt)),
+                  32),
+              _mm512_cvtepu32_epi64(_mm256_load_si256((__m256i*)plt)));
+          simd_column(out, hi, lo, nb, addr, bswap64, v, w, maxw, phr, j0);
+        }
+      }
+      _mm512_store_si512(hi8, hi);
+      _mm512_store_si512(lo8, lo);
+      _mm512_store_si512(nb8, nb);
+      _mm512_store_si512(ad8, addr);
+      for (int t = 0; t < 8; ++t) {
+        const int64_t ff = f0 + t;
+        FastBitWriter w(out + ff * out_stride);
+        w.bytepos = ad8[t] - ff * out_stride;
+        w.acc = (unsigned __int128)(hi8[t]) << 64 | lo8[t];
+        w.nbits = int(nb8[t]);
+        end_bits[ff] = w.finish();
+      }
+      continue;
+    }
+    for (int64_t ff = f0; ff < F && ff < f0 + 8; ++ff) {
+      FastBitWriter w(out + ff * out_stride);
+      const int eb = extra_w != nullptr ? extra_w[ff] : 0;
+      pair_prefix(w, hv, hw, h_off[ff], h_off[ff + 1],
+                  extra != nullptr ? extra + ff * S : nullptr, eb, n[ff]);
+      const int64_t np = (n[ff] + 1) / 2;
+      const int64_t nch = stereo[ff] ? 2 : 1;
+      for (int64_t c = 0; c < nch; ++c) {
+        const int64_t l0 = (ff + c * F) * NP;
+        const uint32_t* ph_ = ph + l0;
+        const uint32_t* pm_ = pm + l0;
+        const uint32_t* pl_ = pl + l0;
+        const int8_t* pw_ = pws + l0;
+        int64_t j = 0;
+        for (; j + 1 < np; j += 2) ALAC_PAIR2(w, ph_, pm_, pl_, pw_, j)
+        for (; j < np; ++j) ALAC_PAIR1(w, ph_, pm_, pl_, pw_, j)
+      }
+      end_bits[ff] = w.finish();
+    }
+  }
+#endif  // ALAC_AVX512_PACK
+}
+
+}  // extern "C"

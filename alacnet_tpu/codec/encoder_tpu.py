@@ -581,6 +581,10 @@ def _pack_host_pairs(prep, planes, timings: dict | None):
         prep["extra_plane"], prep["extra_w"],
         ph, pm, pl, pws, ns_eff, prep["stereo_f"].astype(np.uint8),
         prep["S"], out_stride,
+        # Recycled rows (native._rows_for): the payload slices below
+        # copy out of them before this function returns, so the
+        # next-chunk invalidation contract holds.
+        reuse=True,
     )
     if packed is None:  # native tier vanished mid-run; classic fallback
         prep["pairs"] = False
@@ -688,6 +692,9 @@ def _pack_host(prep, planes, timings: dict | None):
         prep["extra_plane"], prep["extra_w"],
         c0, c1, c2, ws, prep["ns_f"], prep["stereo_f"].astype(np.uint8),
         out_stride,
+        # Recycled rows (native._rows_for): the payload slices below
+        # copy out before return, honoring the invalidation contract.
+        reuse=True,
     )
     if packed is not None:
         out, end_bits = packed

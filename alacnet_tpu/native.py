@@ -147,6 +147,12 @@ def get_lib() -> ctypes.CDLL | None:
                 lib.alac_pack_pair_frames.argtypes
             )
             lib.alac_pack_pair_frames4.restype = None
+            lib.alac_pack_pair_frames8.argtypes = (
+                lib.alac_pack_pair_frames.argtypes
+            )
+            lib.alac_pack_pair_frames8.restype = None
+            lib.alac_pack_simd_width.argtypes = []
+            lib.alac_pack_simd_width.restype = ctypes.c_int64
             lib.alac_decorr_window.argtypes = [
                 _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -291,6 +297,40 @@ def predictor_errors_native(sig, coefs, order, quant, rss):
     return errs
 
 
+#: Shape-keyed row-buffer recycler for the frame packers (opt-in via
+#: reuse=True).  A fresh np.empty((F, out_stride)) per chunk mmaps
+#: ~6-13 MB whose pages fault on first write INSIDE the timed pack —
+#: measured ~40% of the whole pack stage on the bench host (427 -> 837
+#: Msps for the AVX-512 packer once warm).  Contract: rows returned
+#: from a reuse=True call are invalidated by the NEXT reuse=True call
+#: with the same shape on the same thread — the production callers
+#: (codec/encoder_tpu._pack_host*) consume rows into payload bytes
+#: before returning, so nothing retains them.  Thread-local, so the
+#: encode pipeline's pack worker and any caller thread never alias.
+_row_cache = threading.local()
+
+
+def _rows_for(F: int, out_stride: int, reuse: bool):
+    if not reuse:
+        return np.empty((F, out_stride), np.uint8), np.zeros(F, np.int64)
+    cache = getattr(_row_cache, "bufs", None)
+    if cache is None:
+        cache = _row_cache.bufs = {}
+    key = (F, out_stride)
+    hit = cache.get(key)
+    if hit is None:
+        # Bound the cache: distinct chunk shapes are few (one per
+        # (chunk_frames, stride) pair), but a pathological caller mix
+        # must not pin unbounded memory.
+        if len(cache) >= 8:
+            cache.clear()
+        hit = cache[key] = (
+            np.empty((F, out_stride), np.uint8), np.zeros(F, np.int64),
+        )
+    hit[1][:] = 0
+    return hit
+
+
 def pack_symbol_frames_native(
     hv, hw, h_off, v16, v32, wid, n, stereo, out_stride: int
 ):
@@ -326,7 +366,7 @@ def pack_symbol_frames_native(
 
 def pack_chunk_frames_native(
     hv, hw, h_off, extra, extra_w, c0, c1, c2, ws, n, stereo,
-    out_stride: int,
+    out_stride: int, reuse: bool = False,
 ):
     """Assemble coded frames from device-merged 96-bit chunk planes, or
     None when the native tier is unavailable.
@@ -334,7 +374,9 @@ def pack_chunk_frames_native(
     ``extra``: optional (F, S) uint32 extra-bits plane (interleaved
     channel fields per sample); ``extra_w``: (F,) uint8 per-frame field
     width in bits (0 = frame has no extra section).  Returns
-    (out (F, out_stride) uint8, end_bits (F,) int64).
+    (out (F, out_stride) uint8, end_bits (F,) int64); with
+    ``reuse=True`` the rows come from the thread-local recycler (see
+    ``_rows_for``) and are invalidated by the next same-shape call.
     """
     lib = get_lib()
     if lib is None:
@@ -342,8 +384,7 @@ def pack_chunk_frames_native(
     F = len(n)
     # FastBitWriter stores every byte below each frame's end position
     # exactly once, so the rows need no pre-zeroing.
-    out = np.empty((F, out_stride), np.uint8)
-    end_bits = np.zeros(F, np.int64)
+    out, end_bits = _rows_for(F, out_stride, reuse)
     if extra is None:
         extra = np.zeros(1, np.uint32)
         extra_w = np.zeros(F, np.uint8)
@@ -370,7 +411,7 @@ def pack_chunk_frames_native(
 
 def pack_pair_frames_native(
     hv, hw, h_off, extra, extra_w, ph, pm, pl, pws, n, stereo,
-    num_samples: int, out_stride: int,
+    num_samples: int, out_stride: int, reuse: bool = False,
 ):
     """Assemble coded frames from device-merged PAIR planes
     (ops/encode.merge_pair_chunks: one <=96-bit field per two samples),
@@ -393,19 +434,29 @@ def pack_pair_frames_native(
     if lib is None:
         return None
     F = len(n)
-    out = np.empty((F, out_stride), np.uint8)
-    end_bits = np.zeros(F, np.int64)
+    out, end_bits = _rows_for(F, out_stride, reuse)
     if extra is None:
         extra = np.zeros(1, np.uint32)
         extra_w = np.zeros(F, np.uint8)
-    # ALAC_ENC_PAIR_ILV=4 selects the four-writer interleave (an A/B
-    # knob; byte-identical output — groups that can't lockstep fall
-    # back to frame-at-a-time inside the kernel).
-    fn = (
-        lib.alac_pack_pair_frames4
-        if os.environ.get("ALAC_ENC_PAIR_ILV") == "4"
-        else lib.alac_pack_pair_frames
-    )
+    # ALAC_ENC_PAIR_ILV selects the writer interleave (byte-identical
+    # output on every input — groups that can't lockstep fall back to
+    # frame-at-a-time inside each kernel):
+    #   2 — two scalar writers (the r3 default),
+    #   4 — four scalar writers (recorded loss, DESIGN.md §7e),
+    #   8 — the AVX-512 eight-lane SIMD writer (r5; on binaries built
+    #       without AVX-512 F+BW+VBMI2 it delegates to 2, so "8" is
+    #       always safe to request),
+    #   auto (default) — 8 when this binary carries the SIMD packer
+    #       (alac_pack_simd_width() == 8; measured ~2x the two-writer
+    #       kernel on warm rows, 427 -> 837 Msps, music-width planes,
+    #       AVX-512 bench host), else 2.
+    ilv = os.environ.get("ALAC_ENC_PAIR_ILV", "auto")
+    if ilv == "auto":
+        ilv = "8" if lib.alac_pack_simd_width() == 8 else "2"
+    fn = {
+        "4": lib.alac_pack_pair_frames4,
+        "8": lib.alac_pack_pair_frames8,
+    }.get(ilv, lib.alac_pack_pair_frames)
     fn(
         np.ascontiguousarray(hv, np.uint32),
         np.ascontiguousarray(hw, np.uint8),

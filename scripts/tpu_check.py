@@ -279,6 +279,58 @@ def check_encpairs(frames: int, frame_samples: int, seed: int) -> dict:
     }
 
 
+def check_regression(n_runs: int = 3, threshold: float = 0.75) -> dict:
+    """Round-over-round per-kind throughput gate (VERDICT r4 next #1c).
+
+    Slope-measures every corpus kind (median of ``n_runs`` independent
+    runs, bench_lib dispersion discipline) and compares against the
+    PRIOR round's artifact — the highest-numbered ``BENCH_r*.json`` —
+    using its per-kind dispersion median when recorded, else its single
+    value.  A kind below ``threshold`` x prior fails the section: a
+    >25% drop is a regression or a harness bug, never weather, under
+    the hardened slope gate (bench_lib._slope_measure).  Waive a kind
+    with an explaining commit via ALAC_REGRESSION_WAIVE=kind1,kind2.
+    """
+    import os
+
+    from alacnet_tpu.bench_lib import run_benchmark
+
+    arts = sorted(Path(__file__).resolve().parents[1].glob("BENCH_r*.json"))
+    if not arts:
+        return {"parity_ok": True, "skipped": "no prior BENCH artifact"}
+    prior_rec = json.loads(arts[-1].read_text())
+    prior_p = prior_rec.get("parsed", prior_rec)
+    prior_kinds = prior_p.get("device_msps_by_kind", {})
+    prior_disp = prior_p.get("device_msps_by_kind_dispersion", {})
+    waived = set(
+        k for k in os.environ.get("ALAC_REGRESSION_WAIVE", "").split(",") if k
+    )
+    out = {"prior_artifact": arts[-1].name, "kinds": {}}
+    ok = True
+    for kind in CORPUS_KINDS:
+        prior = prior_disp.get(kind, {}).get("median_msps") or prior_kinds.get(
+            kind
+        )
+        if not prior:
+            continue
+        # batch=4096 matches run_full_benchmark's per-kind measurement
+        # exactly — the ratio must compare like with like.
+        r = run_benchmark(batch=4096, repeats=2, kind=kind, dispersion=n_runs)
+        cur = r["value"]
+        kind_ok = (cur >= threshold * prior) or kind in waived
+        out["kinds"][kind] = {
+            "prior_msps": prior,
+            "current_median_msps": cur,
+            "ratio": round(cur / prior, 3),
+            "dispersion": r.get("dispersion"),
+            "ok": bool(kind_ok),
+            **({"waived": True} if kind in waived else {}),
+        }
+        ok = ok and kind_ok
+    out["parity_ok"] = bool(ok)
+    return out
+
+
 def check_fuzz(count: int, seed: int) -> dict:
     """Compiled fused == XLA == scalar oracle on random-body payloads."""
     from tests.test_fuzz_differential import S as FS
@@ -364,7 +416,10 @@ def main() -> int:
                 k: v for k, v in prior.get("kinds", {}).items()
                 if v.get("parity_ok")
             }
-            for sec in ("devpack", "encpack", "encstage", "encpairs", "fuzz"):
+            for sec in (
+                "devpack", "encpack", "encstage", "encpairs", "fuzz",
+                "regression",
+            ):
                 if prior.get(sec, {}).get("parity_ok"):
                     record[sec] = prior[sec]
 
@@ -417,6 +472,11 @@ def main() -> int:
         checkpoint()
     all_ok = all_ok and record["fuzz"]["parity_ok"]
     print("fuzz:", record["fuzz"])
+    if "regression" not in record:
+        record["regression"] = check_regression()
+        checkpoint()
+    all_ok = all_ok and record["regression"]["parity_ok"]
+    print("regression:", json.dumps(record["regression"], indent=1))
     all_ok = all_ok and all(
         record["kinds"].get(k, {}).get("parity_ok") for k in CORPUS_KINDS
     )

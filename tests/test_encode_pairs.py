@@ -157,6 +157,87 @@ def test_pair_pack_mixed_stereo_mono_frames(rng, monkeypatch):
 
 
 @pytest.mark.skipif(not native.available(), reason="no native tier")
+@pytest.mark.parametrize("ilv", ["4", "8"])
+def test_pair_ilv_byte_identity(rng, monkeypatch, ilv):
+    """Every writer interleave (2-writer baseline, 4-writer scalar,
+    8-lane AVX-512 SIMD) must produce byte-identical payloads — incl.
+    odd-length tails (odd pair counts), a mono frame inside the group
+    (breaks lockstep -> the fallback path), and a group-size remainder.
+    On binaries without AVX-512 the "8" arm exercises the delegate."""
+    params = default_cookie(44100, 16, 2, max_samples_per_frame=S)
+    cfg = EncoderConfig(order=4)
+    pcm = tone(S * 11, 2, 16, noise=60.0)
+    frames = [pcm[i * S : (i + 1) * S] for i in range(11)]
+    frames[3] = frames[3][:, :1]  # mono inside an 8-group
+    frames[9] = frames[9][: S // 2 + 3]  # odd tail + shape break
+    monkeypatch.setenv("ALAC_ENC_PAIR", "1")
+    monkeypatch.setenv("ALAC_ENC_PAIR_ILV", "2")
+    base = encode_frames_tpu(frames, params, cfg)
+    monkeypatch.setenv("ALAC_ENC_PAIR_ILV", ilv)
+    assert encode_frames_tpu(frames, params, cfg) == base
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
+def test_native_pair_packer8_adversarial(rng, monkeypatch):
+    """The AVX-512 packer vs the two-writer packer on adversarial raw
+    planes: widths spanning -1 (legal skip), 0..64, and the wide
+    (64, 96] two-push form, random ragged headers, an extra-bits plane
+    on some frames, mixed n/stereo groups (fallback), and lockstep
+    8-groups — byte-for-byte up to each frame's end_bits."""
+    if native.get_lib() is None:
+        pytest.skip("no native tier")
+    F, s = 24, 64
+    NP = s // 2
+    pws = rng.integers(0, 45, (2 * F, NP)).astype(np.int8)
+    pws[rng.random((2 * F, NP)) < 0.05] = -1
+    wide = rng.random((2 * F, NP)) < 0.08
+    pws = np.where(
+        wide, rng.integers(65, 97, (2 * F, NP)), pws
+    ).astype(np.int8)
+
+    def field(v, lo, hi):
+        nb = np.clip(pws.astype(np.int64) - lo, 0, hi - lo).astype(np.uint64)
+        m = np.where(nb >= 32, np.uint64(0xFFFFFFFF),
+                     (np.uint64(1) << nb) - np.uint64(1))
+        return (v & m).astype(np.uint32)
+
+    ph = field(rng.integers(0, 1 << 32, (2 * F, NP), dtype=np.uint64), 64, 96)
+    pm = field(rng.integers(0, 1 << 32, (2 * F, NP), dtype=np.uint64), 32, 64)
+    pl = field(rng.integers(0, 1 << 32, (2 * F, NP), dtype=np.uint64), 0, 32)
+    n = np.full(F, s, np.int32)
+    n[5] = 17  # odd pair tail inside a group -> fallback
+    n[20] = 3
+    stereo = np.ones(F, np.uint8)
+    stereo[13] = 0
+    hcnt = rng.integers(2, 9, F)
+    h_off = np.concatenate(([0], np.cumsum(hcnt))).astype(np.int64)
+    hw = rng.integers(1, 25, h_off[-1]).astype(np.uint8)
+    hv = (
+        rng.integers(0, 1 << 24, h_off[-1]).astype(np.uint32)
+        & ((np.uint32(1) << hw.astype(np.uint32)) - np.uint32(1))
+    )
+    extra = rng.integers(0, 1 << 16, (F, s)).astype(np.uint32)
+    extra_w = np.zeros(F, np.uint8)
+    extra_w[2] = 8
+    extra_w[16] = 4
+    stride = (96 * s * 2 + int(hw.sum()) * 8 + 8 * s) // 8 + 16
+
+    def pack(ilv):
+        monkeypatch.setenv("ALAC_ENC_PAIR_ILV", ilv)
+        return native.pack_pair_frames_native(
+            hv, hw, h_off, extra, extra_w, ph, pm, pl, pws, n, stereo,
+            s, stride,
+        )
+
+    out2, end2 = pack("2")
+    out8, end8 = pack("8")
+    assert np.array_equal(end2, end8)
+    for f in range(F):
+        nb = (int(end2[f]) + 7) // 8
+        assert np.array_equal(out2[f, :nb], out8[f, :nb]), f"frame {f}"
+
+
+@pytest.mark.skipif(not native.available(), reason="no native tier")
 def test_fat_batch_falls_back_to_classic(rng):
     """A set fat flag must re-dispatch the classic planes and still
     produce correct payloads (the non-fitting-pair escape hatch)."""
