@@ -304,7 +304,8 @@ def _device_slope_time(
     shift still depends on the loop index, so the body can't be hoisted
     (XLA cannot prove a dynamic roll is identity); the roll itself
     moves ~2 orders of magnitude less HBM than a decode pass.
-    ``flags`` is a list of per-span (use_fused, max_order, sub_hint);
+    ``flags`` is a list of per-span (use_fused, max_order, sub_hint,
+    range_mode);
     ``arrs`` interleaves per-span device-resident (words, packed_meta).
     """
     import jax
@@ -313,11 +314,11 @@ def _device_slope_time(
     from .ops.frame_decode import decode_frames_packed
 
     total = 0.0
-    for si, (uf, mo, cap) in enumerate(flags):
+    for si, (uf, mo, cap, rm) in enumerate(flags):
         w0, m0 = arrs[2 * si], arrs[2 * si + 1]
         B = w0.shape[0]
 
-        def make(uf=uf, mo=mo, cap=cap, B=B):
+        def make(uf=uf, mo=mo, cap=cap, rm=rm, B=B):
             @jax.jit
             def run(salt, K, w0, m0):
                 def body(i, acc):
@@ -332,6 +333,7 @@ def _device_slope_time(
                     out, n = decode_frames_packed(
                         w, mv, frame_samples,
                         use_fused=uf, max_order=mo, sub_hint=cap,
+                        range_mode=rm,
                     )
                     return (
                         acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
@@ -449,7 +451,7 @@ def run_benchmark(
 
     from .ops.frame_decode import decode_frames_packed
     from .parallel.pipeline import (
-        _fused_plan, plan_blob_batches, span_sub_hint,
+        _fused_plan, plan_blob_batches, span_range_mode, span_sub_hint,
     )
 
     sizes = np.array([len(p) for p in payloads], np.int64)
@@ -467,15 +469,16 @@ def run_benchmark(
         fb = pad_frame_batch(span_batch(perm[lo:hi]))
         use_fused, max_order = _fused_plan(fb)
         spanned.append(
-            (fb, use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]))
+            (fb, use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]),
+             span_range_mode(sizes[perm[lo:hi]]))
         )
     host_parse_s = time.perf_counter() - t0
     fused_all = all(uf for _, uf, *_ in spanned)
     import jax
 
-    flags = [(uf, mo, cap) for _, uf, mo, cap in spanned]
+    flags = [(uf, mo, cap, rm) for _, uf, mo, cap, rm in spanned]
     arrs: list = []
-    for fb, _, _, _ in spanned:
+    for fb, *_ in spanned:
         arrs.append(jnp.asarray(fb.words))
         arrs.append(jnp.asarray(FrameMetaArrays.pack_host(fb)))
     # Force real H2D with a readback: over the axon relay,
@@ -491,10 +494,10 @@ def run_benchmark(
     best = statistics.median(runs_s)
     total_samples = 0
     parity_ok = True
-    for si, (uf, mo, cap) in enumerate(flags):
+    for si, (uf, mo, cap, rm) in enumerate(flags):
         out, n = decode_frames_packed(
             arrs[2 * si], arrs[2 * si + 1], frame_samples,
-            use_fused=uf, max_order=mo, sub_hint=cap,
+            use_fused=uf, max_order=mo, sub_hint=cap, range_mode=rm,
         )
         total_samples += int(jnp.sum(n).item())
         # Parity gate (SURVEY.md §7 step 7): the benchmarked kernel's
@@ -636,7 +639,7 @@ def run_e2e_benchmark(
         them (plan_blob_batches: eligibility/order/size lane ordering,
         packed metadata matrix)."""
         from .parallel.pipeline import (
-            _fused_plan, plan_blob_batches, span_sub_hint,
+            _fused_plan, plan_blob_batches, span_range_mode, span_sub_hint,
         )
 
         perm, _, spans, span_batch = plan_blob_batches(
@@ -649,7 +652,8 @@ def run_e2e_benchmark(
             staged.append(
                 (jnp.asarray(fb.words),
                  jnp.asarray(FrameMetaArrays.pack_host(fb)),
-                 use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]))
+                 use_fused, max_order, span_sub_hint(sizes[perm[lo:hi]]),
+                 span_range_mode(sizes[perm[lo:hi]]))
             )
         jax.block_until_ready([s[0] for s in staged])
         return staged
@@ -662,7 +666,7 @@ def run_e2e_benchmark(
         executable call at a ~10-25 ms round trip and ~0.5 GB/s H2D,
         neither a property of the pipeline — DESIGN.md §4c)."""
         staged = _stage(*timed_corpus)
-        flags = [(uf, mo, cap) for _, _, uf, mo, cap in staged]
+        flags = [(uf, mo, cap, rm) for _, _, uf, mo, cap, rm in staged]
         arrs: list = []
         for w, mv, *_ in staged:
             arrs.extend([w, mv])
@@ -743,7 +747,8 @@ def run_e2e_benchmark(
         import threading
 
         from .parallel.pipeline import (
-            _fused_plan, pad_frame_batch, plan_blob_batches, span_sub_hint,
+            _fused_plan, pad_frame_batch, plan_blob_batches,
+            span_range_mode, span_sub_hint,
         )
 
         q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
@@ -768,7 +773,8 @@ def run_e2e_benchmark(
                     rows = None
                 q.put(
                     (fb.words, FrameMetaArrays.pack_host(fb), uf, mo,
-                     span_sub_hint(sizes[perm[lo:hi]]), rows)
+                     span_sub_hint(sizes[perm[lo:hi]]),
+                     span_range_mode(sizes[perm[lo:hi]]), rows)
                 )
             q.put(None)
 
@@ -825,7 +831,7 @@ def run_e2e_benchmark(
             item = q.get()
             if item is None:
                 break
-            w, mv, uf, mo, cap, rows = item
+            w, mv, uf, mo, cap, rm, rows = item
             if rows is not None:
                 ow, nb, W = rows
                 words_dev = packer(bwords, _put(ow), _put(nb), W)
@@ -833,7 +839,7 @@ def run_e2e_benchmark(
                 words_dev = _put(w)
             _, nn = decode_frames_packed(
                 words_dev, _put(mv), frame_samples,
-                use_fused=uf, max_order=mo, sub_hint=cap,
+                use_fused=uf, max_order=mo, sub_hint=cap, range_mode=rm,
             )
             acc = _account(nn, acc)
             n_dispatch += 1
@@ -857,6 +863,156 @@ def run_e2e_benchmark(
             jnp.sum(z).item()
             rtts.append(time.perf_counter() - t0)
         return min(rtts)
+
+    def resident_overlap_run(corpus, K: int, rtt_unit: float):
+        """MEASURED overlapped wall with the corpus blob DEVICE-RESIDENT
+        (VERDICT r4 next #4).
+
+        The classic overlapped_run can never resolve over the dev relay:
+        the 70 MB corpus H2D is ~99% of its wall.  This mode removes the
+        H2D from the question: the word blob ships once, UNTIMED (the
+        devpack design ships it once per corpus anyway), and the timed
+        window then runs K back-to-back pipeline passes — the host
+        thread replans/packs the corpus K times (the full production
+        host stage) while the device executes each span's
+        pack_rows+decode K times inside ONE executable per span
+        (identity lane rolls, as the slope harness).  Device-busy time
+        is K * device_s ~ seconds against ~7 dispatch RTTs and a few MB
+        of per-span metadata puts (timed) — the relay legs become
+        subtractable without touching device time, so overlap RESOLVES.
+
+        What it measures: the steady-state question ("can the host
+        stage keep pace with the device, overlapped?") for a resident
+        corpus.  The classic cold-corpus mode still rides along with
+        its own honesty flags.  Returns a dict or None (needs devpack).
+        """
+        if not devpack:
+            return None
+        import threading
+
+        from jax import lax
+
+        from .codec.framemeta_vec import words_width
+        from .ops.frame_decode import decode_frames_packed
+        from .ops.pallas.pack_rows import blob_words, pack_rows, pack_rows_xla
+        from .parallel.pipeline import (
+            WORD_BUCKET, _fused_plan, _pad_axis0, plan_blob_batches,
+            span_range_mode, span_sub_hint,
+        )
+
+        blob, offsets, sizes = corpus
+        pack = pack_rows if jax.default_backend() == "tpu" else pack_rows_xla
+
+        def host_pass(collect: bool = False):
+            perm, _, spans, span_batch = plan_blob_batches(
+                blob, offsets, sizes, params, batch_limit, strict=True
+            )
+            items = []
+            for lo, hi in spans:
+                fb, ow, nb, W = span_batch(perm[lo:hi], device_rows=True)
+                fb = pad_frame_batch(fb)
+                uf, mo = _fused_plan(fb, width=W)
+                mv = FrameMetaArrays.pack_host(fb)
+                if collect:
+                    items.append((
+                        _pad_axis0(ow, fb.batch), _pad_axis0(nb, fb.batch),
+                        W, mv, uf, mo,
+                        span_sub_hint(sizes[perm[lo:hi]]),
+                        span_range_mode(sizes[perm[lo:hi]]),
+                        int(np.minimum(
+                            fb.n_samples[: hi - lo], frame_samples
+                        ).sum()),
+                    ))
+            return items
+
+        items = host_pass(collect=True)  # staging pass, untimed
+        max_w = words_width(
+            int(sizes.max()) + 3 if len(sizes) else 0, WORD_BUCKET
+        )
+        bwords = jax.block_until_ready(blob_words(blob, max_w=max_w))
+
+        def make_span(uf, mo, cap, rm, W, B):
+            @jax.jit
+            def run(salt, K, bw, ow, nb, mv):
+                def body(i, acc):
+                    # Identity-multiple roll (cf. _device_slope_time).
+                    r = ((i + salt) % jnp.uint32(7)) * jnp.uint32(B)
+                    rows = pack(bw, jnp.roll(ow, r), nb, W)
+                    out, n = decode_frames_packed(
+                        rows, jnp.roll(mv, r, axis=0), frame_samples,
+                        use_fused=uf, max_order=mo, sub_hint=cap,
+                        range_mode=rm,
+                    )
+                    return (
+                        acc + jnp.sum(n) + out[-1, -1, -1].astype(jnp.int32)
+                    )
+
+                return lax.fori_loop(0, K, body, jnp.zeros((), jnp.int32))
+
+            return run
+
+        runs = [
+            make_span(uf, mo, cap, rm, W, ow.shape[0])
+            for (ow, nb, W, mv, uf, mo, cap, rm, ns) in items
+        ]
+        rng_s = np.random.default_rng()
+        warm = jnp.zeros((), jnp.int32)
+        for rn, (ow, nb, W, mv, *_r) in zip(runs, items):
+            warm = warm + rn(
+                jnp.uint32(int(rng_s.integers(1 << 20))), jnp.int32(1),
+                bwords, jnp.asarray(ow), jnp.asarray(nb), jnp.asarray(mv),
+            )
+        warm.item()  # compile + warm every span executable, untimed
+
+        meta = {"s": 0.0, "bytes": 0}
+
+        def put_meta(x):
+            xa = np.asarray(x)
+            meta["bytes"] += xa.nbytes
+            if not relay:
+                return jax.device_put(xa)
+            t = time.perf_counter()
+            d = jax.block_until_ready(jax.device_put(xa))
+            meta["s"] += time.perf_counter() - t
+            return d
+
+        def host_worker():
+            for _ in range(K):
+                host_pass()
+
+        salt = jnp.uint32(int(rng_s.integers(1 << 20)) | 1)
+        t0 = time.perf_counter()
+        th = threading.Thread(target=host_worker, daemon=True)
+        th.start()
+        acc = jnp.zeros((), jnp.int32)
+        for rn, (ow, nb, W, mv, *_r) in zip(runs, items):
+            acc = acc + rn(
+                salt, jnp.int32(K), bwords,
+                put_meta(ow), put_meta(nb), put_meta(mv),
+            )
+        acc.item()  # blocks on all K passes of every span
+        th.join()  # the wall covers the host thread's K passes too
+        wall = time.perf_counter() - t0
+        total = K * sum(it[-1] for it in items)
+        # Correction: timed metadata puts + ONE final-readback RTT (the
+        # per-span dispatch RPCs overlap seconds of device work and are
+        # not subtracted).  Cap at wall - K*device_s: device-busy time
+        # is never subtracted (device_s is the slope-measured per-pass
+        # cost of the same production batches incl. the pack kernel).
+        corr_raw = (meta["s"] + rtt_unit) if relay else 0.0
+        corr_cap = max(0.0, wall - K * device_s)
+        resolved = corr_raw <= corr_cap
+        corrected = max(wall - min(corr_raw, corr_cap), 1e-9)
+        return {
+            "overlap_resident_msps": round(total / corrected / 1e6, 3),
+            "overlap_resident_resolved": bool(resolved),
+            "overlap_resident_passes": K,
+            "overlap_resident_wall_s": round(wall, 5),
+            "overlap_resident_corrected_s": round(corrected, 5),
+            "overlap_resident_meta_h2d_s": round(meta["s"], 5),
+            "overlap_resident_meta_bytes": meta["bytes"],
+            "overlap_resident_samples": total,
+        }
 
     # Standalone host stage FIRST — before any device traffic exists in
     # the process.  Measured after dispatch, the relay's background
@@ -883,6 +1039,16 @@ def run_e2e_benchmark(
         key=lambda x: x[1] - x[4],
     )
     rtt_unit = _relay_rtt() if relay else 0.0
+    # Resident-blob overlap mode (VERDICT r4 next #4): K sized so
+    # device-busy time (~6 s) dwarfs the subtractable relay legs; tiny
+    # on a directly-attached backend where the classic mode already
+    # resolves (and in the CPU smoke tests).
+    K_res = (
+        int(min(512, max(16, round(6.0 / max(device_s, 1e-3)))))
+        if relay
+        else 8
+    )
+    resident = resident_overlap_run(build(40), K_res, rtt_unit)
     # Relay correction (relay only; on a directly-attached backend the
     # puts were async+untimed and the wall is used raw, corr = 0).  The
     # H2D seconds are MEASURED inside the run itself (overlapped_run's
@@ -934,9 +1100,25 @@ def run_e2e_benchmark(
     # (unresolved), no efficiency is claimed; the bound is published on
     # the strength of (a) the contention-priced host_inline_s in its
     # denominator and (b) the wall being consistent with full overlap.
-    efficiency = (ov_msps / bound_msps) if (ov_resolved and bound_msps) else None
+    # Efficiency source: the classic cold-corpus measurement when it
+    # resolves; else the resident-blob measurement (which removes the
+    # unsubtractable corpus H2D and so resolves even over the relay).
+    efficiency = None
+    eff_source = None
+    if ov_resolved and bound_msps:
+        efficiency = ov_msps / bound_msps
+        eff_source = "classic"
+    elif (
+        resident
+        and resident["overlap_resident_resolved"]
+        and bound_msps
+    ):
+        efficiency = resident["overlap_resident_msps"] / bound_msps
+        eff_source = "resident"
     if efficiency is not None and efficiency < 0.75:
-        published = ov_msps
+        published = ov_msps if eff_source == "classic" else (
+            resident["overlap_resident_msps"]
+        )
     else:
         published = bound_msps
     return {
@@ -954,7 +1136,9 @@ def run_e2e_benchmark(
         "overlap_efficiency": (
             round(efficiency, 4) if efficiency is not None else None
         ),
+        "overlap_efficiency_source": eff_source,
         "overlap_resolved": ov_resolved,
+        **(resident or {}),
         "overlap_wall_s": round(ov_wall, 5),
         "overlap_corrected_s": round(ov_corrected_s, 5),
         "overlap_dispatches": ov_nd,

@@ -77,6 +77,21 @@ class DecodeConfig:
     spread_cap_groups: int = dataclasses.field(
         default_factory=lambda: _env_int("ALAC_SPREAD_CAP", 0)
     )
+    #: MEDIAN per-1024-lane-block coded-size spread (8-word groups) at
+    #: or above which a span's fused kernels switch to EXACT per-pair
+    #: fetch-range bounds (range_M = 0) instead of the amortized
+    #: default (parallel/pipeline.span_range_mode).  The amortized
+    #: bounds win when a tile's lanes advance together (every uniform
+    #: corpus kind) but pay the widened sweep when tiles straddle far-
+    #: apart size clusters — the orders kind's big-payload span
+    #: measures 566 Msps amortized vs 803 exact (r5, v5e), while
+    #: spiky/music LOSE ~17% under exact bounds.  Measured feature
+    #: separation: that span's median block spread is 138 groups vs
+    #: <= 13 for every span that prefers amortized — 64 splits them
+    #: with margin both ways.  0 disables (always the env default).
+    range_spread_groups: int = dataclasses.field(
+        default_factory=lambda: _env_int("ALAC_RANGE_SPREAD", 64)
+    )
     #: Per-block coded-size spread (8-word groups, over 2048-lane
     #: windows) at or below which a span is "tight" and plans the
     #: (16, 128) streaming tile (parallel/pipeline.span_sub_hint) —

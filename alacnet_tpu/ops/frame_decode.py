@@ -189,7 +189,7 @@ def _rice_params(m: FrameMetaArrays, chan: int) -> RiceParams:
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_hint", "interpret",
+        "sub_hint", "interpret", "range_mode",
     ),
 )
 def decode_frames_packed(
@@ -202,6 +202,7 @@ def decode_frames_packed(
     whole_table: bool = False,
     sub_hint: int = 0,
     interpret: bool = False,
+    range_mode: int | None = None,
 ):
     """decode_frames with metadata as one packed (B, N_PACKED) matrix.
 
@@ -213,6 +214,7 @@ def decode_frames_packed(
         words, FrameMetaArrays.unpack(packed_meta), num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
         whole_table=whole_table, sub_hint=sub_hint, interpret=interpret,
+        range_mode=range_mode,
     )
 
 
@@ -220,7 +222,7 @@ def decode_frames_packed(
     jax.jit,
     static_argnames=(
         "num_samples", "use_fused", "max_order", "emit16", "whole_table",
-        "sub_hint", "interpret",
+        "sub_hint", "interpret", "range_mode",
     ),
 )
 def decode_frames(
@@ -233,6 +235,7 @@ def decode_frames(
     whole_table: bool = False,
     sub_hint: int = 0,
     interpret: bool = False,
+    range_mode: int | None = None,
 ):
     """Decode a frame batch -> (samples (B, S, 2) int32, n (B,) int32).
 
@@ -259,6 +262,7 @@ def decode_frames(
         words, meta, num_samples,
         use_fused=use_fused, max_order=max_order, emit16=emit16,
         whole_table=whole_table, sub_hint=sub_hint, interpret=interpret,
+        range_mode=range_mode,
     )
 
 
@@ -272,6 +276,7 @@ def _decode_frames_impl(
     whole_table: bool = False,
     sub_hint: int = 0,
     interpret: bool = False,
+    range_mode: int | None = None,
 ):
     S = num_samples
     B = words.shape[0]
@@ -321,7 +326,7 @@ def _decode_frames_impl(
             m.rss, m.kmod, m.init_history, m.rice_mult[:, 0], m.kmask,
             m.order[:, 0], m.quant[:, 0], m.rc[:, 0],
             S, max_order=max_order, whole_table=whole_table,
-            sub_hint=sub_hint, interpret=interpret,
+            sub_hint=sub_hint, interpret=interpret, range_mode=range_mode,
         )
         # Channel B only exists for stereo lanes; skip the whole pass when
         # the batch is mono (a frozen scan still costs a full S-step loop).
@@ -335,6 +340,7 @@ def _decode_frames_impl(
                 m.order[:, 1], m.quant[:, 1], m.rc[:, 1],
                 S, max_order=max_order, whole_table=whole_table,
                 sub_hint=sub_hint, interpret=interpret,
+                range_mode=range_mode,
             ),
             lambda: (jnp.zeros((B, S), I32), pos_after_a),
         )

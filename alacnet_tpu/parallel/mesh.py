@@ -73,6 +73,7 @@ def decode_frames_spmd(
     whole_table: bool = False,
     sub_hint: int = 0,
     interpret: bool = False,
+    range_mode: int | None = None,
 ):
     """decode_frames over mesh-sharded inputs via shard_map.
 
@@ -91,7 +92,7 @@ def decode_frames_spmd(
             w, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
-            interpret=interpret,
+            interpret=interpret, range_mode=range_mode,
         )
 
     # check_vma=False: decode_frames' lax.cond fast-skips pair a varying
@@ -117,6 +118,7 @@ def decode_frames_spmd_rows(
     whole_table: bool = False,
     sub_hint: int = 0,
     interpret: bool = False,
+    range_mode: int | None = None,
 ):
     """Sharded decode with device-side row assembly (config.device_pack).
 
@@ -152,7 +154,7 @@ def decode_frames_spmd_rows(
             words, FrameMetaArrays.unpack(m), num_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
-            interpret=interpret,
+            interpret=interpret, range_mode=range_mode,
         )
 
     bwords_r = jax.device_put(bwords, NamedSharding(mesh, P()))

@@ -179,6 +179,38 @@ def span_sub_hint(span_sizes: np.ndarray, orig_b: int | None = None) -> int:
     return 0
 
 
+def span_range_mode(
+    span_sizes: np.ndarray, orig_b: int | None = None
+) -> int | None:
+    """Per-span fetch-range policy for the fused kernels.
+
+    Returns 0 (EXACT per-pair cross-lane range bounds) when the span's
+    median per-1024-lane-block coded-size spread reaches
+    ``config.range_spread_groups``, else None (the kernel's env
+    default — amortized bounds, ALAC_FETCH_RANGE).
+
+    Why: the amortized bounds tighten the fetch sweep's upper bound
+    one group per pair between exact reduces — nearly free when a
+    tile's lanes advance together, but on spans whose tiles straddle
+    far-apart size clusters (the orders kind's big-payload span:
+    3.4-7.8 KB frames in one 1024-lane block, median spread 138
+    groups) the widened sweep costs more than the per-pair reduce it
+    amortizes away: 566 Msps amortized vs 803 exact (r5, v5e).  Every
+    uniform kind sits at <= 13 groups and keeps amortized bounds
+    (exact bounds cost spiky ~17%).  ``span_sizes`` in planner order
+    (size-sorted within the span, as plan_blob_batches emits).
+    """
+    from ..config import DEFAULT
+
+    t = DEFAULT.range_spread_groups
+    s = np.asarray(span_sizes)[: orig_b if orig_b else None]
+    if not t or not len(s):
+        return None
+    if np.median(_block_spreads(s, FUSED_MIN_BATCH)) >= t:
+        return 0
+    return None
+
+
 def _devpack_backend() -> bool:
     """Device row assembly runs on tpu (pallas kernel) and cpu (the
     bit-identical XLA fallback, which keeps the path under the routine
@@ -190,7 +222,7 @@ def _devpack_backend() -> bool:
 
 def dispatch_frame_batch(
     fb: FrameBatch, max_samples: int, mesh=None, whole_table: bool = False,
-    sub_hint: int = 0, device_rows=None,
+    sub_hint: int = 0, device_rows=None, range_mode: int | None = None,
 ):
     """Parse-side dispatch: returns device arrays without synchronizing.
 
@@ -256,7 +288,7 @@ def dispatch_frame_batch(
                 FrameMetaArrays.pack_host(fb), mesh, max_samples,
                 use_fused=use_fused, max_order=max_order, emit16=emit16,
                 whole_table=whole_table, sub_hint=sub_hint,
-                interpret=interpret,
+                interpret=interpret, range_mode=range_mode,
             )
             return out, n, orig_b
         words, meta = shard_frame_batch(fb, mesh)
@@ -264,7 +296,7 @@ def dispatch_frame_batch(
             words, meta, mesh, max_samples,
             use_fused=use_fused, max_order=max_order, emit16=emit16,
             whole_table=whole_table, sub_hint=sub_hint,
-            interpret=interpret,
+            interpret=interpret, range_mode=range_mode,
         )
         return out, n, orig_b
     if device_rows is not None:
@@ -294,6 +326,7 @@ def dispatch_frame_batch(
         whole_table=whole_table,
         sub_hint=sub_hint,
         interpret=interpret,
+        range_mode=range_mode,
     )
     return out, n, orig_b
 
@@ -587,7 +620,7 @@ def decode_blob(
                 fb = span_batch(idx)
         out_d, n_d, orig_b = dispatch_frame_batch(
             fb, max_samples, mesh=mesh, sub_hint=span_sub_hint(sizes[idx]),
-            device_rows=rows,
+            device_rows=rows, range_mode=span_range_mode(sizes[idx]),
         )
         pending.append(
             (out_d, n_d, orig_b, hi - lo, int(sizes[idx].sum()),

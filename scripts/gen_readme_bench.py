@@ -85,6 +85,12 @@ def build_block(p: dict, src: str) -> str:
             "measured overlapped wall (host thread ‖ device, RTT-corrected)",
             f"{p['e2e_measured_overlap_msps']:.0f} Msamples/s/chip",
         ))
+    elif p.get("overlap_resident_resolved"):
+        rows.append((
+            "measured overlapped wall (resident-blob mode: host replans ‖ "
+            f"device decodes ×{p.get('overlap_resident_passes', '?')})",
+            f"{p['overlap_resident_msps']:.0f} Msamples/s/chip",
+        ))
     elif "e2e_measured_overlap_msps" in p:
         rows.append((
             "measured overlapped wall (host thread ‖ device, RTT-corrected)",

@@ -28,7 +28,8 @@ from alacnet_tpu.bench_lib import (  # noqa: E402
 )
 from alacnet_tpu.ops.frame_decode import FrameMetaArrays  # noqa: E402
 from alacnet_tpu.parallel.pipeline import (  # noqa: E402
-    _fused_plan, pad_frame_batch, plan_blob_batches, span_sub_hint,
+    _fused_plan, pad_frame_batch, plan_blob_batches, span_range_mode,
+    span_sub_hint,
 )
 
 
@@ -54,17 +55,18 @@ def main() -> None:
         fb = pad_frame_batch(span_batch(perm[lo:hi]))
         uf, mo = _fused_plan(fb)
         cap = span_sub_hint(sizes[perm[lo:hi]])
+        rm = span_range_mode(sizes[perm[lo:hi]])
         w = jnp.asarray(fb.words)
         mv = jnp.asarray(FrameMetaArrays.pack_host(fb))
         jnp.sum(w).item()
-        t = _device_slope_time([(uf, mo, cap)], [w, mv], 4096, trials=3)
+        t = _device_slope_time([(uf, mo, cap, rm)], [w, mv], 4096, trials=3)
         ssizes = sizes[perm[lo:hi]]
         nsamp = int(np.minimum(fb.n_samples, 4096).sum())
         total_t += t
         total_n += nsamp
         print(
             f"span[{lo}:{hi}] lanes={hi-lo} pad_batch={fb.batch} "
-            f"fused={uf} max_order={mo} sub_hint={cap} "
+            f"fused={uf} max_order={mo} sub_hint={cap} range_mode={rm} "
             f"bytes=[{ssizes.min()},{ssizes.max()}] "
             f"orders={sorted(set(int(o) for o in np.asarray(fb.order)[:, 0][:hi-lo]))} "
             f"n={sorted(set(int(x) for x in np.asarray(fb.n_samples)[:hi-lo]))} "

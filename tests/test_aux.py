@@ -122,12 +122,22 @@ class TestBenchHarness:
         assert r["e2e_measured_overlap_msps"] > 0
         assert r["overlap_dispatches"] > 0
         assert r["e2e_total_frames"] == 48
-        # Publish rule: the headline is always one of the two measured
+        # Publish rule: the headline is always one of the measured
         # candidates (the rounded overlap_efficiency can't reproduce
         # the unrounded >= 0.75 branch decision exactly).
         assert r["e2e_msamples_per_s"] in (
-            r["e2e_stage_bound_msps"], r["e2e_measured_overlap_msps"]
+            r["e2e_stage_bound_msps"], r["e2e_measured_overlap_msps"],
+            r.get("overlap_resident_msps"),
         )
+        # Resident-blob overlap mode (devpack on for the CPU suite):
+        # K passes on a device-resident blob, host replanning alongside.
+        # (K is 8 on a direct backend but relay-sized when the suite
+        # runs in a shell that exports AXON_LOOPBACK_RELAY.)
+        K = r["overlap_resident_passes"]
+        assert 1 <= K <= 512
+        assert r["overlap_resident_msps"] > 0
+        assert r["overlap_resident_samples"] == K * r["e2e_total_samples"]
+        assert r["overlap_efficiency_source"] in ("classic", "resident")
 
 
 class TestFuzz:

@@ -201,10 +201,11 @@ class TestStallFallback:
         calls = []
 
         def fake_dispatch(fb, max_samples, mesh=None, whole_table=False,
-                          sub_hint=0, device_rows=None):
+                          sub_hint=0, device_rows=None, range_mode=None):
             out, n, orig_b = real_dispatch(
                 fb, max_samples, mesh=mesh, whole_table=whole_table,
                 sub_hint=sub_hint, device_rows=device_rows,
+                range_mode=range_mode,
             )
             calls.append(whole_table)
             if not whole_table and len(calls) == 1:
