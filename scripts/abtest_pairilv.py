@@ -64,7 +64,7 @@ def run(F=512, S=4096, repeats=5, seed=7):
     import os
 
     results = {}
-    for ilv in ("2", "4"):
+    for ilv in ("2", "4", "8"):
         os.environ["ALAC_ENC_PAIR_ILV"] = ilv
         best = float("inf")
         for _ in range(repeats):
@@ -75,16 +75,21 @@ def run(F=512, S=4096, repeats=5, seed=7):
             best = min(best, time.perf_counter() - t0)
         results[ilv] = (best, out)
     os.environ.pop("ALAC_ENC_PAIR_ILV", None)
-    (t2, (o2, e2)), (t4, (o4, e4)) = results["2"], results["4"]
-    assert (e2 == e4).all(), "end_bits mismatch"
-    for f in range(F):
-        nb = -(-int(e2[f]) // 8)
-        assert o2[f, :nb].tobytes() == o4[f, :nb].tobytes(), f"frame {f} bytes differ"
+    (t2, (o2, e2)) = results["2"]
     samples = F * S
-    print(f"pair-ilv2: {samples/t2/1e6:8.1f} Msps  ({t2*1e3:.2f} ms)")
-    print(f"pair-ilv4: {samples/t4/1e6:8.1f} Msps  ({t4*1e3:.2f} ms)")
+    for ilv in ("4", "8"):
+        tx, (ox, ex) = results[ilv]
+        assert (e2 == ex).all(), f"end_bits mismatch (ilv {ilv})"
+        for f in range(F):
+            nb = -(-int(e2[f]) // 8)
+            assert o2[f, :nb].tobytes() == ox[f, :nb].tobytes(), (
+                f"frame {f} bytes differ (ilv {ilv})"
+            )
+    for ilv in ("2", "4", "8"):
+        tx = results[ilv][0]
+        print(f"pair-ilv{ilv}: {samples/tx/1e6:8.1f} Msps  ({tx*1e3:.2f} ms)")
     print(f"byte-identical on {F} frames (incl. mono + short ragged probes)")
-    return t2, t4
+    return results["2"][0], results["4"][0]
 
 
 if __name__ == "__main__":
