@@ -274,6 +274,11 @@ def dispatch_frame_batch(
     # Pallas lowers only on TPU; anywhere else the fused path runs under
     # the Pallas interpreter (bit-identical, slow — test/debug only).
     interpret = use_fused and (platform or jax.default_backend()) != "tpu"
+    if not use_fused:
+        # range_mode only parameterizes the fused kernels; normalizing
+        # it away on the XLA path keeps one executable per shape
+        # instead of one per (shape, policy verdict).
+        range_mode = None
     emit16 = DEFAULT.emit16 and bool((fb.sample_size == 16).all())
     if mesh is not None:
         from .mesh import (
