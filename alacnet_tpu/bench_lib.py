@@ -1168,13 +1168,16 @@ def _native_available() -> bool:
     return native.available()
 
 
-def run_full_benchmark(repeats: int = 3, dispersion: int = 5) -> dict:
+def run_full_benchmark(repeats: int = 3, dispersion: int = 3) -> dict:
     """The driver benchmark: e2e pipeline + per-kind device numbers.
 
     Per-kind values are the MEDIAN of ``dispersion`` independent slope
     measurements, with min/median/max recorded per kind
     (``device_msps_by_kind_dispersion``) so a future reader can tell a
-    regression from relay weather (VERDICT r4 weak #1)."""
+    regression from relay weather (VERDICT r4 weak #1).  Default 3 for
+    the driver's one-shot wall budget; the hardened slope gate
+    (_slope_measure) already holds per-run spread to ~±0.2%, and the
+    n=5 investigation data lives in BENCH_r05.json."""
     e2e = run_e2e_benchmark(repeats=max(3, repeats))
     kinds = {}
     kind_disp = {}
