@@ -104,6 +104,7 @@ _SLOW_BASES = {
     "tests/test_sharding.py::test_decode_blob_over_mesh",
     "tests/test_pallas_kernel.py::test_fused_kernel_odd_scan_length",
     "tests/test_pipeline_plan.py::TestSpreadSubCap::test_spread_cap_decode_bit_exact",
+    "tests/test_pipeline_plan.py::TestSpanRangeMode::test_exact_bounds_decode_bit_exact",
     "tests/test_device_parity.py::test_mixed_file_batch",
     "tests/test_encode_pairs.py::test_pair_pack_mesh_byte_identity",
     "tests/test_handcrafted.py::TestHassizePathological::test_explicit_n_partial_matches_oracle",

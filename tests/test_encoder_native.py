@@ -201,3 +201,45 @@ def test_decorr_window_matches_numpy(wide, lw, sh, rng):
     np.copyto(ref[:F], np.where(stw, caw, hiw[:, :, 0]), casting="unsafe")
     np.copyto(ref[F:], np.where(stw, cbw, 0), casting="unsafe")
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rows_for_recycler_contract():
+    """native._rows_for: reuse=False always allocates fresh; reuse=True
+    hands back the SAME buffers per (shape, thread) with end_bits
+    re-zeroed, distinct buffers across shapes and threads, and a
+    bounded cache."""
+    import threading
+
+    from alacnet_tpu.native import _rows_for
+
+    a1, e1 = _rows_for(4, 128, reuse=False)
+    a2, e2 = _rows_for(4, 128, reuse=False)
+    assert a1 is not a2 and e1 is not e2
+
+    r1, f1 = _rows_for(4, 128, reuse=True)
+    f1[:] = 7
+    r1[:] = 9
+    r2, f2 = _rows_for(4, 128, reuse=True)
+    assert r1 is r2 and f1 is f2          # recycled
+    assert (f2 == 0).all()                 # end_bits re-zeroed
+    r3, _ = _rows_for(8, 128, reuse=True)
+    assert r3 is not r1                    # shape-keyed
+
+    got = {}
+
+    def worker():
+        got["rows"] = _rows_for(4, 128, reuse=True)[0]
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert got["rows"] is not r1           # thread-local
+
+    # Cache stays bounded under pathological shape churn.
+    for i in range(40):
+        _rows_for(4, 128 + 8 * i, reuse=True)
+    cache = getattr(
+        __import__("alacnet_tpu.native", fromlist=["_row_cache"])._row_cache,
+        "bufs",
+    )
+    assert len(cache) <= 8

@@ -284,6 +284,61 @@ class TestSpreadSubCap:
             np.testing.assert_array_equal(out[i, : n[i], :], pcm)
 
 
+class TestSpanRangeMode:
+    """Per-span fetch-range policy (round 5, docs/DESIGN.md §4m)."""
+
+    def test_uniform_span_keeps_amortized_default(self):
+        import alacnet_tpu.parallel.pipeline as pl
+
+        assert pl.span_range_mode(np.full(2048, 5000)) is None
+        assert pl.span_range_mode(np.array([], np.int64)) is None
+
+    def test_high_spread_span_gets_exact_bounds(self):
+        import alacnet_tpu.parallel.pipeline as pl
+
+        # The measured shape that wants exact bounds: one 1024-lane
+        # block straddling size clusters 4.4 KB apart (>= 64 groups
+        # median spread).
+        mixed = np.sort(
+            np.concatenate([np.full(512, 3400), np.full(512, 7800)])
+        )
+        assert pl.span_range_mode(mixed) == 0
+
+    def test_orig_b_ignores_padding_tail(self):
+        import alacnet_tpu.parallel.pipeline as pl
+
+        # Padding lanes (size 0) after orig_b must not fake a spread.
+        sizes = np.concatenate([np.full(900, 5000), np.zeros(124, np.int64)])
+        assert pl.span_range_mode(sizes, orig_b=900) is None
+
+    def test_threshold_zero_disables(self, monkeypatch):
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        monkeypatch.setattr(cfg.DEFAULT, "range_spread_groups", 0)
+        mixed = np.sort(
+            np.concatenate([np.full(512, 3400), np.full(512, 7800)])
+        )
+        assert pl.span_range_mode(mixed) is None
+
+    def test_exact_bounds_decode_bit_exact(self, monkeypatch):
+        """Force the policy threshold to 1 group so the fused
+        interpreter decodes through exact per-pair bounds — must stay
+        bit-exact through decode_blob (the policy's production wiring,
+        not just the kernel parameter)."""
+        import alacnet_tpu.config as cfg
+        import alacnet_tpu.parallel.pipeline as pl
+
+        monkeypatch.setattr(cfg.DEFAULT, "kernel", "fused")
+        monkeypatch.setattr(cfg.DEFAULT, "range_spread_groups", 1)
+        blob, offsets, sizes, params, pcms = _corpus()
+        assert pl.span_range_mode(sizes) == 0
+        out, n, status = pl.decode_blob(blob, offsets, sizes, params, S)
+        assert (n == S).all()
+        for i, pcm in enumerate(pcms):
+            np.testing.assert_array_equal(out[i, : n[i], :], pcm)
+
+
 class TestBigFrameBand:
     def test_big_frames_get_streaming_fused_spans(self, monkeypatch):
         """Frames between FUSED_MAX_WORDS and FUSED_MAX_WORDS_STREAM
