@@ -91,7 +91,10 @@ def _flat_metrics(p: dict) -> dict[str, float]:
     }
     for k, v in p["device_msps_by_kind"].items():
         out[f"kind.{k}"] = v
-    for k in ("encode_msps", "encode_device_msps", "e2e_measured_overlap_msps"):
+    for k in (
+        "encode_msps", "encode_device_msps", "e2e_measured_overlap_msps",
+        "overlap_resident_msps",
+    ):
         if p.get(k) is not None:
             out[k] = p[k]
     return out
